@@ -1,0 +1,137 @@
+"""Full rate-distortion evaluation on Kodak (or BSDS).
+
+Counterpart of ``kodak_tensorflow/reconstructing_eae_kodak.py``: builds
+the three learned-codec RD curve families plus the JPEG2000 and HEVC
+anchors, then the Bjontegaard summaries. Hyperparameter ladder from
+``reconstructing_eae_kodak.py:607-660``: gammas {10k..96k} for the
+one-model-per-rate family, multipliers {1..10} for the single-model
+sweeps, JPEG2000 qualities {24..40}, HEVC QPs {22..47}.
+"""
+
+import argparse
+import os
+import pickle
+
+import jax
+import numpy
+
+from autoencoder_based_image_compression_tpu.eval import rd_sweep
+from autoencoder_based_image_compression_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+)
+from autoencoder_based_image_compression_tpu.train.state import init_train_state
+from autoencoder_based_image_compression_tpu.utils.naming import (
+    experiment_suffix,
+    float_to_str,
+)
+from autoencoder_based_image_compression_tpu.utils.parsing import int_strictly_positive
+
+GAMMAS_VARY = [10000.0, 12000.0, 16000.0, 24000.0, 40000.0, 72000.0, 96000.0]
+MULTIPLIERS = [1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
+JPEG2000_QUALITIES = list(range(24, 42, 2))
+HEVC_QPS = [22, 27, 32, 37, 42, 47]
+
+
+def _load_state(results_root, bin_width_init, gamma, learn_bin_widths, idx_training):
+    template = init_train_state(jax.random.PRNGKey(0), gamma, bin_width_init,
+                                learn_bin_widths)
+    path = os.path.join(results_root,
+                        experiment_suffix(bin_width_init, gamma, learn_bin_widths),
+                        f"model_{idx_training}")
+    if not checkpoint_exists(path):
+        return None
+    return load_checkpoint(path, template)
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(description="Kodak RD evaluation.")
+    parser.add_argument("--idx_training", type=int_strictly_positive, default=1)
+    parser.add_argument("--batch_size", type=int_strictly_positive, default=4)
+    parser.add_argument("--code_lossless", action="store_true",
+                        help="true coded rate via the C++ arithmetic coder")
+    parser.add_argument("--use_bsds", action="store_true")
+    parser.add_argument("--path_to_kodak", default="data/kodak/kodak.npy")
+    parser.add_argument("--path_to_bsds", default="data/bsds/bsds.npy")
+    parser.add_argument("--results_root", default="results/eae")
+    parser.add_argument("--cache_dir", default="results/rd")
+    parser.add_argument("--hevc_encoder", default="",
+                        help="path to HM TAppEncoderStatic (optional)")
+    args = parser.parse_args(args)
+
+    images = numpy.load(args.path_to_bsds if args.use_bsds else args.path_to_kodak)
+    curves = []
+
+    # Family 1: one fixed-bw model per gamma, unit bin widths.
+    params_per_gamma = {}
+    for gamma in GAMMAS_VARY:
+        state = _load_state(args.results_root, 1.0, gamma, False, args.idx_training)
+        if state is not None:
+            params_per_gamma[gamma] = state.params
+    if params_per_gamma:
+        (rates_v, psnrs_v) = rd_sweep.vary_gamma_fix_bin_widths(
+            images, params_per_gamma, sorted(params_per_gamma), args.batch_size,
+            args.cache_dir)
+        curves.append((numpy.mean(rates_v, axis=1), numpy.mean(psnrs_v, axis=1),
+                       "EAE one model per gamma", "o-"))
+
+    # Families 2+3: single model, multiplier sweep (learned / fixed bw).
+    for (learn_bw, bw_init, label, style) in [
+            (True, 0.5, "EAE learned bin widths", "s-"),
+            (False, 1.0, "EAE fixed bin widths", "^-")]:
+        state = _load_state(args.results_root, bw_init, 10000.0, learn_bw,
+                            args.idx_training)
+        if state is None:
+            continue
+        stats_dir = os.path.join(args.results_root,
+                                 experiment_suffix(bw_init, 10000.0, learn_bw),
+                                 "statistics")
+        map_mean = probabilities = None
+        idx_exception = -1
+        if os.path.isfile(os.path.join(stats_dir, "map_mean.npy")):
+            map_mean = numpy.load(os.path.join(stats_dir, "map_mean.npy"))
+            with open(os.path.join(stats_dir, "idx_map_exception.pkl"), "rb") as file:
+                idx_exception = pickle.load(file)
+            if args.code_lossless:
+                probabilities = [
+                    numpy.load(os.path.join(
+                        stats_dir,
+                        f"binary_probabilities_{float_to_str(m)}.npy"))
+                    for m in MULTIPLIERS]
+        (rates_f, psnrs_f) = rd_sweep.fix_gamma(
+            images, state.params, numpy.asarray(state.bin_widths), learn_bw,
+            MULTIPLIERS, args.batch_size, args.cache_dir, map_mean, probabilities,
+            idx_exception)
+        curves.append((numpy.mean(rates_f, axis=1), numpy.mean(psnrs_f, axis=1),
+                       label, style))
+
+    # Anchors.
+    try:
+        from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
+            evaluate_jpeg2000)
+
+        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images, JPEG2000_QUALITIES)
+        curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
+                       "JPEG2000", "x--"))
+    except Exception as error:  # anchor optional
+        print(f"JPEG2000 anchor skipped: {error}")
+        rates_j2k = None
+    if args.hevc_encoder:
+        from autoencoder_based_image_compression_tpu.codecs.hevc import evaluate_hevc
+
+        (rates_hevc, psnrs_hevc) = evaluate_hevc(images, HEVC_QPS, args.hevc_encoder)
+        curves.append((numpy.mean(rates_hevc, axis=0), numpy.mean(psnrs_hevc, axis=0),
+                       "HEVC", "d--"))
+
+    os.makedirs(args.cache_dir, exist_ok=True)
+    if curves:
+        rd_sweep.plot_rate_distortion(
+            curves, "Rate-distortion on " + ("BSDS" if args.use_bsds else "Kodak"),
+            os.path.join(args.cache_dir, "rate_distortion.png"))
+        print(f"{len(curves)} RD curves written to {args.cache_dir}")
+    else:
+        print("No trained checkpoints found; nothing to evaluate.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+// Host-side lossless entropy-coding core.
+//
+// Re-implementation (from scratch, C++17) of the coding algorithm of the
+// reference's lossless layer (kodak_tensorflow/lossless/c++/source/):
+// a 16-bit-precision static-probability binary arithmetic coder with
+// E1/E2 renormalization and an E3-scaling counter, plus UEG0
+// binarization of int16 symbols: a truncated-unary prefix driven through
+// the arithmetic coder with per-index probabilities, an Exp-Golomb-0
+// suffix and a sign bit written raw to a bypass stream.
+//
+// Bit-exactness notes (the bpp parity budget is <=1%):
+//  * PRECISION = 16; the interval split point is
+//    low + floor(p0 * (high - low)) computed in double
+//    (reference BinaryArithmeticCoder.cpp:154).
+//  * stop_encoding flushes one disambiguation bit plus the queued E3
+//    scalings + 1 inverted bits (reference :61-102).
+//  * start_decoding preloads 16 bits (reference :104-122).
+
+#pragma once
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <stdexcept>
+#include <vector>
+
+namespace aeic {
+
+// Growable bit buffer with separate read/write cursors (LSB-first within
+// each byte). Unlike the reference's fixed-capacity Bitstream, capacity
+// grows on demand, so callers need no worst-case sizing.
+class BitVec {
+ public:
+  void push(uint8_t bit) {
+    const std::size_t byte = write_pos_ >> 3;
+    if (byte >= data_.size()) data_.push_back(0);
+    if (bit & 0x1u) {
+      data_[byte] = static_cast<uint8_t>(data_[byte] | (0x1u << (write_pos_ & 7)));
+    }
+    ++write_pos_;
+  }
+
+  // Reads one bit; returns 0 past the end (the reference tolerates
+  // exhausted streams during decoder renormalization by leaving the
+  // shift register's fresh bits at 0).
+  uint8_t pull() {
+    if (read_pos_ >= write_pos_) return 0;
+    const uint8_t bit = (data_[read_pos_ >> 3] >> (read_pos_ & 7)) & 0x1u;
+    ++read_pos_;
+    return bit;
+  }
+
+  bool exhausted() const { return read_pos_ >= write_pos_; }
+  std::uint64_t occupancy_in_bits() const { return write_pos_ - read_pos_; }
+  std::uint64_t size_in_bits() const { return write_pos_; }
+  const std::vector<uint8_t>& bytes() const { return data_; }
+
+  void load(const uint8_t* bytes, std::uint64_t nb_bits) {
+    data_.assign(bytes, bytes + ((nb_bits + 7) >> 3));
+    write_pos_ = nb_bits;
+    read_pos_ = 0;
+  }
+
+ private:
+  std::vector<uint8_t> data_;
+  std::uint64_t write_pos_ = 0;
+  std::uint64_t read_pos_ = 0;
+};
+
+// 16-bit static-probability binary range coder.
+class RangeCoder16 {
+ public:
+  static constexpr uint32_t kPrecision = 16;
+  static constexpr uint32_t kRangeMax = (1u << kPrecision) - 1;   // 0xFFFF
+  static constexpr uint32_t kHalf = kRangeMax >> 1;               // 0x7FFF
+  static constexpr uint32_t kQuarter = kHalf >> 1;                // 0x3FFF
+  static constexpr uint32_t kThreeQuarters = 3 * kQuarter;
+  static constexpr uint32_t kTopBit = 1u << (kPrecision - 1);
+
+  explicit RangeCoder16(BitVec& stream) : stream_(stream) {}
+
+  // Encodes one binary decision; p0 is the probability the bit is 0.
+  void encode(uint8_t bit, double p0) {
+    split(p0);
+    if (bit & 0x1u) {
+      low_ = middle_ + 1;
+    } else {
+      high_ = middle_;
+    }
+    // E1/E2: emit matching top bits; E3: defer straddles.
+    for (;;) {
+      const uint32_t top_high = high_ & kTopBit;
+      if (top_high == (low_ & kTopBit)) {
+        if (top_high != 0) {
+          high_ -= kHalf + 1;
+          low_ -= kHalf + 1;
+        }
+        high_ = (high_ << 1) | 0x1u;
+        low_ <<= 1;
+        const uint8_t out = static_cast<uint8_t>(top_high >> (kPrecision - 1));
+        stream_.push(out);
+        flush_e3(out);
+      } else if (low_ > kQuarter && high_ <= kThreeQuarters) {
+        high_ -= kQuarter + 1;
+        low_ -= kQuarter + 1;
+        high_ = (high_ << 1) | 0x1u;
+        low_ <<= 1;
+        ++nb_e3_;
+      } else {
+        break;
+      }
+    }
+  }
+
+  // Terminates encoding: one disambiguation bit + queued E3 inversions.
+  void stop_encoding() {
+    ++nb_e3_;
+    const uint8_t out = (low_ < kQuarter) ? 0 : 1;
+    stream_.push(out);
+    flush_e3(out);
+    low_ = 0;
+    middle_ = kHalf;
+    high_ = kRangeMax;
+    nb_e3_ = 0;
+  }
+
+  // Preloads the decoder shift register with kPrecision bits.
+  void start_decoding() {
+    code_ = 0;
+    for (uint32_t i = 0; i < kPrecision; ++i) {
+      code_ = (code_ << 1) | stream_.pull();
+    }
+  }
+
+  uint8_t decode(double p0) {
+    split(p0);
+    uint8_t bit = 0;
+    if (code_ >= low_ && code_ <= middle_) {
+      high_ = middle_;
+      bit = 0;
+    } else {
+      low_ = middle_ + 1;
+      bit = 1;
+    }
+    for (;;) {
+      if (high_ <= kHalf) {
+        // E1: nothing to subtract.
+      } else if (low_ > kHalf) {
+        high_ -= kHalf + 1;
+        low_ -= kHalf + 1;
+        code_ -= kHalf + 1;
+      } else if (high_ <= kThreeQuarters && low_ > kQuarter) {
+        high_ -= kQuarter + 1;
+        low_ -= kQuarter + 1;
+        code_ -= kQuarter + 1;
+      } else {
+        break;
+      }
+      high_ = ((high_ << 1) & kRangeMax) | 0x1u;
+      low_ = (low_ << 1) & kRangeMax;
+      code_ = ((code_ << 1) & kRangeMax) | stream_.pull();
+    }
+    return bit;
+  }
+
+ private:
+  void split(double p0) {
+    if (std::isnan(p0) || p0 <= 0.0 || p0 >= 1.0) {
+      throw std::invalid_argument("probability must lie in ]0, 1[");
+    }
+    middle_ = low_ + static_cast<uint32_t>(
+        std::floor(p0 * static_cast<double>(high_ - low_)));
+  }
+
+  void flush_e3(uint8_t emitted) {
+    const uint8_t inverted = static_cast<uint8_t>(!(emitted & 0x1u));
+    for (uint32_t i = 0; i < nb_e3_; ++i) stream_.push(inverted);
+    nb_e3_ = 0;
+  }
+
+  BitVec& stream_;
+  uint32_t low_ = 0;
+  uint32_t middle_ = kHalf;
+  uint32_t high_ = kRangeMax;
+  uint32_t nb_e3_ = 0;
+  uint32_t code_ = 0;
+};
+
+// UEG0 symbol codec over a (range coder, bypass stream) pair.
+//
+// |symbol| is split into a truncated-unary prefix of at most `tu_len`
+// ones (each arithmetic-coded with its per-index zero-probability), an
+// EG0 suffix of |symbol| - tu_len when the prefix saturates (bypass),
+// and a raw sign bit for nonzero symbols (bypass).
+class Ueg0Codec {
+ public:
+  Ueg0Codec(BitVec& bac_stream, BitVec& bypass_stream, uint8_t tu_len,
+            const double* probabilities)
+      : coder_(bac_stream), bypass_(bypass_stream), tu_len_(tu_len),
+        probs_(probabilities, probabilities + tu_len) {}
+
+  void write(int16_t symbol) {
+    const uint16_t magnitude = static_cast<uint16_t>(std::abs(symbol));
+    write_truncated_unary(magnitude);
+    if (magnitude >= tu_len_) {
+      write_eg0(static_cast<uint16_t>(magnitude - tu_len_));
+    }
+    if (symbol != 0) bypass_.push(symbol > 0 ? 1 : 0);
+  }
+
+  int16_t read() {
+    uint16_t magnitude = read_truncated_unary();
+    if (magnitude == tu_len_) {
+      magnitude = static_cast<uint16_t>(magnitude + read_eg0());
+    }
+    int16_t symbol = static_cast<int16_t>(magnitude);
+    if (symbol != 0 && bypass_.pull() == 0) symbol = static_cast<int16_t>(-symbol);
+    return symbol;
+  }
+
+  void stop_encoding() { coder_.stop_encoding(); }
+  void start_decoding() { coder_.start_decoding(); }
+
+ private:
+  void write_truncated_unary(uint16_t magnitude) {
+    uint16_t i = 0;
+    for (; i < magnitude; ++i) {
+      coder_.encode(1, probs_[i]);
+      if (i == static_cast<uint16_t>(tu_len_ - 1)) return;  // saturated prefix
+    }
+    coder_.encode(0, probs_[i]);
+  }
+
+  uint16_t read_truncated_unary() {
+    uint16_t value = 0;
+    for (uint16_t i = 0;; ++i) {
+      if (coder_.decode(probs_[i]) == 0) break;
+      ++value;
+      if (i == static_cast<uint16_t>(tu_len_ - 1)) break;
+    }
+    return value;
+  }
+
+  void write_eg0(uint16_t value) {
+    const uint32_t value_plus_1 = static_cast<uint32_t>(value) + 1;
+    uint32_t nb_bits = 0;
+    while ((value_plus_1 >> nb_bits) != 0) ++nb_bits;
+    const uint32_t nb_bits_minus_1 = nb_bits - 1;
+    for (uint32_t i = 0; i < nb_bits_minus_1; ++i) bypass_.push(1);
+    bypass_.push(0);
+    const uint32_t suffix = value_plus_1 - (1u << nb_bits_minus_1);
+    for (uint32_t i = 0; i < nb_bits_minus_1; ++i) {
+      bypass_.push(static_cast<uint8_t>((suffix >> (nb_bits_minus_1 - i - 1)) & 0x1u));
+    }
+  }
+
+  uint16_t read_eg0() {
+    uint32_t nb_bits_minus_1 = 0;
+    while (bypass_.pull()) ++nb_bits_minus_1;
+    uint32_t value = 0;
+    for (uint32_t i = 0; i < nb_bits_minus_1; ++i) {
+      value = (value << 1) | bypass_.pull();
+    }
+    return static_cast<uint16_t>(value + (1u << nb_bits_minus_1) - 1);
+  }
+
+  RangeCoder16 coder_;
+  BitVec& bypass_;
+  uint8_t tu_len_;
+  std::vector<double> probs_;
+};
+
+}  // namespace aeic

@@ -1,0 +1,150 @@
+"""Sharded, pipelined inference engine.
+
+The north-star deliverable (BASELINE.json): batched image encode +
+quantize + decode on device, images sharded over the ``data`` axis,
+optionally the image height sharded over ``model`` (GSPMD inserts the
+halo exchanges the strided convs need), and the host-side C++
+arithmetic coder overlapped with device compute - JAX dispatch is
+asynchronous, so while the coder thread pool chews batch *i* the device
+is already running batch *i+1*.
+
+The reference counterpart is the strictly sequential
+encode -> quantize -> code -> decode chain of
+``reconstructing_eae_kodak.py`` (SURVEY.md section 3.2).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from autoencoder_based_image_compression_tpu.models import conv_eae
+from autoencoder_based_image_compression_tpu.ops.quantization import quantize_per_map
+
+
+def make_codec_fns(learn_bin_widths, mesh=None, spatial=False):
+    """Jitted encode / quantize+decode, optionally mesh-sharded.
+
+    Returns ``(encode_fn, decode_fn, device_put_batch)`` where
+    ``encode_fn(params, images_f32) -> latents`` and
+    ``decode_fn(params, latents, bin_widths) -> reconstruction`` (the
+    quantizer is fused into the decoder dispatch: one device program
+    per direction).
+    """
+    if mesh is not None:
+        batch_spec = P("data", "model", None, None) if spatial else P("data", None, None, None)
+        batch_sh = NamedSharding(mesh, batch_spec)
+        rep = NamedSharding(mesh, P())
+
+        def device_put_batch(batch):
+            return jax.device_put(batch, batch_sh)
+
+        encode_fn = jax.jit(
+            functools.partial(conv_eae.encode, learn_bin_widths=learn_bin_widths),
+            in_shardings=(rep, batch_sh), out_shardings=batch_sh)
+
+        def _decode(params, latents, bin_widths):
+            quantized = quantize_per_map(latents, bin_widths)
+            return conv_eae.decode(params, quantized, learn_bin_widths)
+
+        decode_fn = jax.jit(_decode, in_shardings=(rep, batch_sh, rep),
+                            out_shardings=batch_sh)
+    else:
+        def device_put_batch(batch):
+            return jax.device_put(batch)
+
+        encode_fn = jax.jit(
+            functools.partial(conv_eae.encode, learn_bin_widths=learn_bin_widths))
+
+        def _decode(params, latents, bin_widths):
+            quantized = quantize_per_map(latents, bin_widths)
+            return conv_eae.decode(params, quantized, learn_bin_widths)
+
+        decode_fn = jax.jit(_decode)
+    return (encode_fn, decode_fn, device_put_batch)
+
+
+def roundtrip_batched(params, images_uint8, bin_widths, learn_bin_widths,
+                      batch_size, mesh=None, spatial=False):
+    """Encode + quantize + decode a uint8 image stack, batch by batch.
+
+    Keeps the device busy: batch *i+1* is dispatched before batch *i*
+    is fetched. Returns float32 reconstructions (caller applies
+    ``cast_bt601``).
+    """
+    (encode_fn, decode_fn, put) = make_codec_fns(learn_bin_widths, mesh, spatial)
+    bin_widths = jnp.asarray(bin_widths)
+    nb = images_uint8.shape[0]
+    futures = []
+    for i in range(0, nb, batch_size):
+        batch = put(jnp.asarray(
+            images_uint8[i:i + batch_size].astype(numpy.float32)))
+        latents = encode_fn(params, batch)
+        futures.append(decode_fn(params, latents, bin_widths))
+    return numpy.concatenate([numpy.asarray(f) for f in futures], axis=0)
+
+
+class PipelinedCompressor:
+    """Overlaps device encode/decode with host arithmetic coding.
+
+    Drives the full true-rate pipeline over an image stack: device
+    encodes batch i+1 while the C++ coder thread pool compresses the
+    latents of batch i (the host/device overlap the reference lacks -
+    its coder runs strictly between decode calls,
+    ``reconstructing_eae_kodak.py:197-218``).
+    """
+
+    def __init__(self, params, bin_widths, learn_bin_widths, binary_probabilities,
+                 map_mean, idx_map_exception=-1, mesh=None, batch_size=4):
+        from autoencoder_based_image_compression_tpu.coding.compression import (
+            rescale_compress_lossless_maps)
+
+        self._compress = rescale_compress_lossless_maps
+        self.params = params
+        self.bin_widths = numpy.asarray(bin_widths)
+        self.learn_bin_widths = learn_bin_widths
+        self.binary_probabilities = binary_probabilities
+        self.map_mean = numpy.asarray(map_mean)
+        self.idx_map_exception = idx_map_exception
+        self.batch_size = batch_size
+        (self.encode_fn, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
+        # Raw decoder: the pipeline feeds latents that are already
+        # quantized (and re-centered), so no fused quantizer here.
+        self.decode_fn = jax.jit(functools.partial(
+            conv_eae.decode, learn_bin_widths=learn_bin_widths))
+
+    def __call__(self, images_uint8):
+        """Returns (reconstructions_f32, nb_bits_per_image).
+
+        Latent centering by the extra-set map means before quantization
+        and the re-add before decode follow
+        ``reconstructing_eae_kodak.py:170-213``.
+        """
+        import concurrent.futures
+
+        nb = images_uint8.shape[0]
+        bits = [0] * nb
+        reconstructions = []
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            coding_futures = []
+            for start in range(0, nb, self.batch_size):
+                batch = self.put(jnp.asarray(
+                    images_uint8[start:start + self.batch_size].astype(numpy.float32)))
+                latents = self.encode_fn(self.params, batch)
+                centered = numpy.asarray(latents) - self.map_mean
+                centered_quantized = numpy.asarray(
+                    quantize_per_map(centered, self.bin_widths))
+                # Host coding of this batch proceeds while the device
+                # decodes it (async dispatch below).
+                for (j, one) in enumerate(centered_quantized):
+                    coding_futures.append((start + j, pool.submit(
+                        self._compress, one, self.bin_widths,
+                        self.binary_probabilities, self.idx_map_exception)))
+                quantized = jnp.asarray(centered_quantized + self.map_mean)
+                reconstructions.append(self.decode_fn(self.params, quantized))
+            for (idx, fut) in coding_futures:
+                bits[idx] = fut.result()
+        recs = numpy.concatenate([numpy.asarray(r) for r in reconstructions], axis=0)
+        return (recs, numpy.asarray(bits))

@@ -1,0 +1,107 @@
+"""Epoch driver and batched inference helpers.
+
+Re-design of the reference batch drivers (``kodak_tensorflow/eae/batching.py``):
+uint8 images are fed as raw float32 in [0, 255] (no normalization -
+``batching.py:48-53``), fixed-size mini-batches with a divisibility
+requirement, density pre-fit epochs before the first joint epoch, and
+the per-batch alternation density-update-THEN-eae-update
+(``batching.py:154-163``).
+
+Unlike the reference (one host->device ``feed_dict`` copy per
+``sess.run``), batches are transferred once and every update is a
+single jitted call.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+from autoencoder_based_image_compression_tpu.models import conv_eae
+from autoencoder_based_image_compression_tpu.ops.quantization import cast_bt601
+from autoencoder_based_image_compression_tpu.utils.image import subdivide_set
+
+
+def encode_mini_batches(luminances_uint8, params, learn_bin_widths, batch_size):
+    """Latents of a stack of luminance images, one mini-batch at a time.
+
+    Reference ``eae/batching.py:56-100``. Returns float32 numpy
+    ``(N, H/16, W/16, 128)``.
+    """
+    if luminances_uint8.dtype != numpy.uint8:
+        raise TypeError("`luminances_uint8.dtype` is not equal to `numpy.uint8`.")
+    nb_batches = subdivide_set(luminances_uint8.shape[0], batch_size)
+    encode_jit = jax.jit(functools.partial(conv_eae.encode,
+                                           learn_bin_widths=learn_bin_widths))
+    chunks = []
+    for i in range(nb_batches):
+        batch = luminances_uint8[i * batch_size:(i + 1) * batch_size].astype(numpy.float32)
+        chunks.append(numpy.asarray(encode_jit(params, jnp.asarray(batch))))
+    return numpy.concatenate(chunks, axis=0)
+
+
+def decode_mini_batches(quantized_y_float32, params, learn_bin_widths, batch_size):
+    """uint8 reconstructions from quantized latents, one batch at a time.
+
+    Reference ``eae/batching.py:11-54``: the decoder output is clipped
+    to the BT.601 range and cast to uint8.
+    """
+    nb_batches = subdivide_set(quantized_y_float32.shape[0], batch_size)
+    decode_jit = jax.jit(functools.partial(conv_eae.decode,
+                                           learn_bin_widths=learn_bin_widths))
+    chunks = []
+    for i in range(nb_batches):
+        batch = jnp.asarray(quantized_y_float32[i * batch_size:(i + 1) * batch_size])
+        reconstruction = decode_jit(params, batch)
+        chunks.append(cast_bt601(numpy.asarray(reconstruction)))
+    return numpy.concatenate(chunks, axis=0)
+
+
+def preliminary_fitting(training_uint8, state, step_fns, batch_size, nb_epochs_fitting,
+                        key):
+    """Density pre-fit epochs before the first joint training epoch.
+
+    Reference ``eae/batching.py:102-127``.
+    """
+    nb_batches = subdivide_set(training_uint8.shape[0], batch_size)
+    for _ in range(nb_epochs_fitting):
+        for j in range(nb_batches):
+            (key, subkey) = jax.random.split(key)
+            batch = jnp.asarray(
+                training_uint8[j * batch_size:(j + 1) * batch_size].astype(numpy.float32))
+            state = step_fns["training_fct"](state, batch, subkey)
+    return state
+
+
+def run_epoch_training(training_uint8, state, step_fns, batch_size, nb_batches, key,
+                       permutation=None):
+    """One training epoch: shuffle, then the fused alternation per batch.
+
+    Reference ``eae/batching.py:129-165``; the density update runs
+    before the autoencoder update inside ``train_step``.
+    """
+    if permutation is None:
+        permutation = numpy.random.permutation(training_uint8.shape[0])
+    for i in range(nb_batches):
+        (key, subkey) = jax.random.split(key)
+        rows = permutation[i * batch_size:(i + 1) * batch_size]
+        batch = jnp.asarray(training_uint8[rows].astype(numpy.float32))
+        state = step_fns["train_step"](state, batch, subkey)
+    return state
+
+
+def evaluate(state, batch_uint8, step_fns, gamma_scaling, key):
+    """The reference's four training indicators on one batch.
+
+    Returns ``(mean_discrete_entropy, scaled_approx_entropy, rec_error,
+    loss_density_approx)`` (reference ``EntropyAutoencoder.py:542-589``).
+    """
+    from autoencoder_based_image_compression_tpu.ops.metrics import average_entropies
+
+    batch = jnp.asarray(batch_uint8.astype(numpy.float32))
+    (scaled_approx_entropy, rec_error, loss_density, y) = step_fns["evaluation"](
+        state, batch, key)
+    mean_disc_entropy = average_entropies(numpy.asarray(y), numpy.asarray(state.bin_widths))
+    return (mean_disc_entropy, float(scaled_approx_entropy), float(rec_error),
+            float(loss_density))

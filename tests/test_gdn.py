@@ -1,0 +1,68 @@
+"""Tests of GDN/IGDN against the reference channel-matmul formula.
+
+Oracle: direct numpy transcription of
+``kodak_tensorflow/tfutils/tfutils.py:363-397`` (reshape to 2D, matmul
+over channels, sqrt).
+"""
+
+import jax
+import numpy
+
+from autoencoder_based_image_compression_tpu.ops.gdn import gdn, init_gdn_gamma, inverse_gdn
+
+
+def _reference_gdn(x, gamma, beta):
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    out = flat / numpy.sqrt(flat ** 2 @ gamma + beta[None, :])
+    return out.reshape(shape)
+
+
+def _reference_igdn(x, gamma, beta):
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    out = flat * numpy.sqrt(flat ** 2 @ gamma + beta[None, :])
+    return out.reshape(shape)
+
+
+def test_gdn_matches_reference_formula():
+    rng = numpy.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 4, 16)).astype(numpy.float32)
+    gamma = numpy.abs(rng.normal(size=(16, 16))).astype(numpy.float32) * 0.01
+    beta = numpy.ones(16, numpy.float32)
+    out = numpy.asarray(gdn(x, gamma, beta))
+    numpy.testing.assert_allclose(out, _reference_gdn(x, gamma, beta), rtol=2e-5, atol=1e-6)
+
+
+def test_inverse_gdn_matches_reference_formula():
+    rng = numpy.random.default_rng(1)
+    x = rng.normal(size=(2, 4, 4, 16)).astype(numpy.float32)
+    gamma = numpy.abs(rng.normal(size=(16, 16))).astype(numpy.float32) * 0.01
+    beta = numpy.ones(16, numpy.float32)
+    out = numpy.asarray(inverse_gdn(x, gamma, beta))
+    numpy.testing.assert_allclose(out, _reference_igdn(x, gamma, beta), rtol=2e-5, atol=1e-6)
+
+
+def test_igdn_inverts_gdn_with_identity_pool():
+    # With gamma = 0 and beta = 1, GDN and IGDN are both the identity.
+    rng = numpy.random.default_rng(2)
+    x = rng.normal(size=(1, 2, 2, 8)).astype(numpy.float32)
+    gamma = numpy.zeros((8, 8), numpy.float32)
+    beta = numpy.ones(8, numpy.float32)
+    numpy.testing.assert_allclose(numpy.asarray(gdn(x, gamma, beta)), x, rtol=1e-6)
+    numpy.testing.assert_allclose(numpy.asarray(inverse_gdn(x, gamma, beta)), x, rtol=1e-6)
+
+
+def test_init_gdn_gamma_symmetric_and_bounded():
+    gamma = numpy.asarray(init_gdn_gamma(jax.random.PRNGKey(0), 32, 2.0e-5))
+    numpy.testing.assert_allclose(gamma, gamma.T, rtol=1e-6)
+    assert gamma.min() >= 2.0e-5
+    assert gamma.max() <= 0.01
+
+
+def test_init_gdn_gamma_rejects_bad_min():
+    try:
+        init_gdn_gamma(jax.random.PRNGKey(0), 8, 0.5)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for min_gamma outside ]0, 0.01]")

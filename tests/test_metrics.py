@@ -1,0 +1,98 @@
+"""Tests of the host-side metrics (known-distribution oracles)."""
+
+import numpy
+
+from autoencoder_based_image_compression_tpu.ops import metrics
+
+
+def test_count_symbols_known_histogram():
+    quantized = numpy.array([0.0, 0.5, 0.5, 1.0, -0.5, 1.5, 1.5, 1.5])
+    hist = metrics.count_symbols(quantized, 0.5)
+    numpy.testing.assert_array_equal(hist, numpy.array([1, 1, 2, 1, 3]))
+
+
+def test_count_symbols_detects_omitted_quantization():
+    try:
+        metrics.count_symbols(numpy.array([0.3, 0.7]), 0.5)
+    except AssertionError:
+        return
+    raise AssertionError("expected the quantization-omission assertion to fire")
+
+
+def test_discrete_entropy_uniform_alphabet():
+    # 4 equiprobable symbols -> exactly 2 bits.
+    quantized = numpy.repeat(numpy.array([0.0, 1.0, 2.0, 3.0]), 100)
+    entropy = metrics.discrete_entropy(quantized, 1.0)
+    numpy.testing.assert_allclose(entropy, 2.0, rtol=1e-12)
+
+
+def test_discrete_entropy_gaussian_statistical():
+    # H(Q(X)) for X ~ N(0, sigma) with unit bins approaches
+    # h(X) - log2(1) = 0.5*log2(2*pi*e*sigma^2).
+    rng = numpy.random.default_rng(0)
+    sigma = 4.0
+    samples = numpy.round(rng.normal(0.0, sigma, size=500000))
+    entropy = metrics.discrete_entropy(samples, 1.0)
+    expected = 0.5 * numpy.log2(2.0 * numpy.pi * numpy.e * sigma ** 2)
+    assert abs(entropy - expected) < 0.02
+
+
+def test_psnr_2d_known_value():
+    ref = numpy.zeros((8, 8), numpy.uint8)
+    rec = numpy.full((8, 8), 5, numpy.uint8)  # MSE = 25
+    psnr = metrics.psnr_2d(ref, rec)
+    numpy.testing.assert_allclose(psnr, 10.0 * numpy.log10(255.0 ** 2 / 25.0), rtol=1e-12)
+
+
+def test_rate_3d_matches_per_map_entropy():
+    rng = numpy.random.default_rng(1)
+    latent = numpy.round(rng.normal(0.0, 2.0, size=(4, 6, 3))).astype(numpy.float32)
+    bw = numpy.ones(3, numpy.float32)
+    rate = metrics.rate_3d(latent, bw, 64, 96)
+    expected = sum(
+        metrics.discrete_entropy(latent[:, :, i], 1.0) * 24 for i in range(3)
+    ) / (64 * 96)
+    numpy.testing.assert_allclose(rate, expected, rtol=1e-12)
+
+
+def test_bjontegaard_identical_curves_zero():
+    rates = numpy.array([0.1, 0.3, 0.6, 1.0])
+    psnrs = numpy.array([28.0, 31.0, 34.0, 37.0])
+    delta = metrics.compute_bjontegaard(rates, psnrs, rates, psnrs)
+    numpy.testing.assert_allclose(delta, 0.0, atol=1e-9)
+
+
+def test_bjontegaard_halved_rate_is_minus_fifty():
+    rates = numpy.array([0.1, 0.3, 0.6, 1.0])
+    psnrs = numpy.array([28.0, 31.0, 34.0, 37.0])
+    delta = metrics.compute_bjontegaard(rates, psnrs, 0.5 * rates, psnrs)
+    numpy.testing.assert_allclose(delta, -50.0, rtol=1e-6)
+
+
+def test_jensen_shannon_divergence_bounds():
+    p = numpy.array([0.5, 0.5])
+    q = numpy.array([0.5, 0.5])
+    numpy.testing.assert_allclose(metrics.jensen_shannon_divergence(p, q), 0.0, atol=1e-12)
+    p = numpy.array([0.999, 0.001])
+    q = numpy.array([0.001, 0.999])
+    div = metrics.jensen_shannon_divergence(p, q)
+    assert 0.9 < div <= 1.0
+
+
+def test_count_nb_deads():
+    arr = numpy.zeros((2, 3, 3, 4))
+    arr[0, :, :, 0] = 1.0
+    arr[1, :, :, :] = 1.0
+    deads = metrics.count_nb_deads(arr)
+    numpy.testing.assert_array_equal(deads, numpy.array([3, 0]))
+
+
+def test_average_entropies_matches_manual():
+    rng = numpy.random.default_rng(2)
+    data = rng.normal(0.0, 3.0, size=(2, 8, 8, 2)).astype(numpy.float32)
+    bw = numpy.array([1.0, 2.0], numpy.float32)
+    result = metrics.average_entropies(data, bw)
+    quantized = bw * numpy.round(data / bw)
+    expected = 0.5 * (metrics.discrete_entropy(quantized[..., 0], 1.0)
+                      + metrics.discrete_entropy(quantized[..., 1], 2.0))
+    numpy.testing.assert_allclose(result, expected, rtol=1e-12)
