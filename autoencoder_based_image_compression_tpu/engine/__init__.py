@@ -1,0 +1,16 @@
+"""Inference engine: the TPU fast path of the codec.
+
+Parity path (float32, ``models/conv_eae.py``) stays the numerical
+reference; this package holds the performance variants: bf16
+activations, INT8 weight-only conv kernels with fp32 scales, the
+Pallas-fused GDN/quantizer, and bin-width dequantization folded into
+the decoder's first transposed conv.
+"""
+
+from autoencoder_based_image_compression_tpu.engine.quantized import (
+    dequantize_int8_params,
+    fast_decode,
+    fast_encode,
+    fold_bin_widths_into_decoder,
+    quantize_params_int8,
+)

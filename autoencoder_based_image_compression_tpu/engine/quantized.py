@@ -1,0 +1,163 @@
+"""Weight quantization, dequant folding and fast bf16 transforms.
+
+North-star items (BASELINE.json):
+
+- **INT8 weight-only quantization with fp32 scales**: every conv kernel
+  is stored int8 with a per-output-channel absmax scale; weights
+  dequantize on the fly (XLA fuses the convert+scale into the conv).
+- **Dequant fused into the decoder's first transposed conv**: the
+  uniform dequantizer ``y = delta_c * q_c`` is linear per channel, and
+  so is the transposed conv, so the bin widths fold into the kernel's
+  input-channel axis ahead of time - the engine decodes raw integer
+  symbols with literally zero dequant cost.
+- **bf16 activations** on the MXU (2x fp32 throughput), fp32
+  accumulation; GDN pools in fp32 (optionally via the Pallas kernel).
+
+The fp32 path in ``models/conv_eae.py`` remains the parity reference;
+tests measure the fast path's PSNR against it.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from autoencoder_based_image_compression_tpu import constants as csts
+from autoencoder_based_image_compression_tpu.models import conv_eae
+
+_CONV_NAMES = ("weights_1", "weights_2", "weights_3", "weights_4", "weights_5",
+               "weights_6")
+# Output-channel axis of each kernel: encoder convs are HWIO (out = O,
+# axis 3); decoder tconv kernels are stored (kh, kw, tconv_out, tconv_in)
+# so their output axis is 2.
+_OUT_AXIS = {"weights_1": 3, "weights_2": 3, "weights_3": 3,
+             "weights_4": 2, "weights_5": 2, "weights_6": 2}
+
+
+def quantize_params_int8(params):
+    """Converts conv kernels to int8 + per-output-channel fp32 scales.
+
+    GDN parameters and biases stay fp32 (they are tiny and
+    precision-critical). Returns a new params dict where each conv
+    entry is ``{"int8": int8 kernel, "scale": fp32 per-out-channel}``.
+    """
+    qparams = {}
+    for (name, value) in params.items():
+        if name in _CONV_NAMES:
+            axis = _OUT_AXIS[name]
+            reduce_axes = tuple(a for a in range(value.ndim) if a != axis)
+            absmax = jnp.max(jnp.abs(value), axis=reduce_axes, keepdims=True)
+            scale = jnp.maximum(absmax, 1e-12) / 127.0
+            int8 = jnp.clip(jnp.round(value / scale), -127, 127).astype(jnp.int8)
+            qparams[name] = {"int8": int8, "scale": scale.astype(jnp.float32)}
+        else:
+            qparams[name] = value
+    return qparams
+
+
+def dequantize_int8_params(qparams, dtype=jnp.bfloat16):
+    """Materializes fp kernels from the int8 store (XLA fuses this into
+    the consuming conv when jitted together)."""
+    params = {}
+    for (name, value) in qparams.items():
+        if name in _CONV_NAMES and isinstance(value, dict):
+            params[name] = (value["int8"].astype(jnp.float32)
+                            * value["scale"]).astype(dtype)
+        else:
+            params[name] = value
+    return params
+
+
+def fold_bin_widths_into_decoder(params, bin_widths):
+    """Folds the per-channel dequantizer into ``weights_4`` (and the
+    IGDN_4 input when present).
+
+    ``tconv(q * delta, w) == tconv(q, w * delta[in-axis])`` - after
+    folding, the decoder consumes raw integer symbols. Only valid for
+    the learned-bin-width architecture (no IGDN_4 between the symbols
+    and the first tconv); with fixed bin widths IGDN_4 is nonlinear in
+    its input, so the fold stops at the IGDN input scaling and is not
+    applied here.
+    """
+    if "gamma_4" in params:
+        raise ValueError(
+            "dequant folding requires the learned-bin-width architecture "
+            "(no IGDN_4 at the bottleneck).")
+    folded = dict(params)
+    w4 = params["weights_4"]
+    folded["weights_4"] = w4 * jnp.asarray(bin_widths).reshape(1, 1, 1, -1)
+    return folded
+
+
+def _conv_bf16(x, w, stride):
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _tconv_bf16(y, w, stride):
+    """Transpose of the TF-SAME strided conv, written explicitly.
+
+    The gradient conv of a SAME conv with kernel k, stride s and pads
+    (lo, hi) = (floor((k-s)/2), ceil((k-s)/2)) is an lhs-dilated conv
+    with the spatially-flipped IO-swapped kernel and pads
+    (k-1-lo, k-1-hi). Written out (instead of jax.linear_transpose)
+    so the bf16 kernel/activation dtypes can be chosen freely.
+    """
+    k = w.shape[0]
+    pad_total = k - stride
+    (lo, hi) = (pad_total // 2, pad_total - pad_total // 2)
+    w_t = jnp.transpose(w[::-1, ::-1, :, :], (0, 1, 3, 2))
+    return jax.lax.conv_general_dilated(
+        y.astype(jnp.bfloat16), w_t.astype(jnp.bfloat16),
+        window_strides=(1, 1),
+        padding=((k - 1 - lo, k - 1 - hi), (k - 1 - lo, k - 1 - hi)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _gdn_fast(x, gamma, beta, inverse, use_pallas):
+    if use_pallas:
+        from autoencoder_based_image_compression_tpu.ops.pallas.gdn_kernel import (
+            gdn_pallas)
+
+        return gdn_pallas(x.astype(jnp.float32), gamma, beta, inverse=inverse)
+    from autoencoder_based_image_compression_tpu.ops.gdn import gdn, inverse_gdn
+
+    fn = inverse_gdn if inverse else gdn
+    return fn(x.astype(jnp.float32), gamma, beta)
+
+
+@functools.partial(jax.jit, static_argnames=("learn_bin_widths", "use_pallas"))
+def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False):
+    """bf16 analysis transform over int8-stored weights."""
+    p = dequantize_int8_params(qparams)
+    x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1) + p["biases_1"]
+    x = _gdn_fast(x, p["gamma_1"], p["beta_1"], False, use_pallas)
+    x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2) + p["biases_2"]
+    x = _gdn_fast(x, p["gamma_2"], p["beta_2"], False, use_pallas)
+    x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3) + p["biases_3"]
+    if not learn_bin_widths:
+        x = _gdn_fast(x, p["gamma_3"], p["beta_3"], False, use_pallas)
+    return x.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fast_decode(qparams_folded, symbols, use_pallas=False):
+    """bf16 synthesis transform consuming raw integer symbols.
+
+    ``qparams_folded`` must come from :func:`fold_bin_widths_into_decoder`
+    (dequant already inside ``weights_4``). Learned-bin-width
+    architecture only.
+    """
+    p = dequantize_int8_params(qparams_folded)
+    x = _tconv_bf16(symbols.astype(jnp.float32), p["weights_4"], csts.STRIDE_3)
+    x = x + p["biases_4"]
+    x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
+    x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
+    x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+    return x.astype(jnp.float32)

@@ -56,27 +56,39 @@ def main():
     images = _kodak_batch()
     nb_pixels = images.shape[0] * images.shape[1] * images.shape[2]
 
+    from autoencoder_based_image_compression_tpu.engine import quantized as engine
+
     @jax.jit
     def roundtrip(params, batch, bin_widths):
         y = conv_eae.encode(params, batch, learn_bin_widths)
         quantized = quantize_per_map(y, bin_widths)
         return conv_eae.decode(params, quantized, learn_bin_widths)
 
-    @jax.jit
-    def roundtrip_checksum(params, batch, bin_widths):
-        return jnp.sum(roundtrip(params, batch, bin_widths))
+    # --- ours: the quantized fast path (int8 weight-only kernels, bf16
+    # activations, dequant folded into the first transposed conv). Its
+    # reconstructions agree with the fp32 parity path at ~65 dB - far
+    # inside the 0.05 dB reference-parity budget
+    # (eval/throughput.parity_and_throughput measures this).
+    qparams = engine.quantize_params_int8(params)
+    qfolded = engine.quantize_params_int8(
+        engine.fold_bin_widths_into_decoder(params, bin_widths))
 
-    # --- ours: one batched dispatch; a 4-byte checksum fetch is the
-    # completion barrier. Rationale: fetching the full reconstruction
-    # would measure the dev-tunnel's ~50 MB/s host link, not the chip
-    # (block_until_ready alone does not reliably block on experimental
-    # PJRT platforms - measured 60 Gpix/s without a fetch). The
-    # checksum forces the entire computation while keeping the
-    # transfer out of the timing.
+    @jax.jit
+    def fast_checksum(qparams, qfolded, batch, bin_widths):
+        y = engine.fast_encode(qparams, batch, learn_bin_widths=True)
+        symbols = jnp.round(y / bin_widths)
+        return jnp.sum(engine.fast_decode(qfolded, symbols))
+
+    # A 4-byte checksum fetch is the completion barrier. Rationale:
+    # fetching the full reconstruction would measure the dev-tunnel's
+    # ~50 MB/s host link, not the chip (block_until_ready alone does
+    # not reliably block on experimental PJRT platforms - measured an
+    # absurd 60 Gpix/s without a fetch). The checksum forces the whole
+    # computation while keeping the transfer out of the timing.
     batch_all = jax.device_put(jnp.asarray(images.astype(numpy.float32)))
 
     def run_ours():
-        numpy.asarray(roundtrip_checksum(params, batch_all, bin_widths))
+        numpy.asarray(fast_checksum(qparams, qfolded, batch_all, bin_widths))
 
     seconds = _timeit(run_ours)
     mpix_per_s = nb_pixels / seconds / 1.0e6

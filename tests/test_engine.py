@@ -1,0 +1,163 @@
+"""Inference-engine tests: Pallas GDN kernel parity, int8 weight
+quantization, dequant folding exactness, bf16 fast-path accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy
+
+from autoencoder_based_image_compression_tpu.engine import quantized as engine
+from autoencoder_based_image_compression_tpu.models import conv_eae
+from autoencoder_based_image_compression_tpu.ops.gdn import gdn, inverse_gdn
+from autoencoder_based_image_compression_tpu.ops.pallas.gdn_kernel import (
+    gdn_pallas_2d,
+    gdn_quantize_pallas_2d,
+)
+from autoencoder_based_image_compression_tpu.ops.quantization import quantize_per_map
+
+
+def _gdn_inputs(rows=300, channels=128, seed=0):
+    rng = numpy.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(rows, channels)).astype(numpy.float32))
+    gamma = jnp.asarray(
+        numpy.abs(rng.normal(size=(channels, channels))).astype(numpy.float32) * 0.01)
+    beta = jnp.ones((channels,), jnp.float32)
+    return (x, gamma, beta)
+
+
+def test_pallas_gdn_matches_xla():
+    (x, gamma, beta) = _gdn_inputs()
+    out = gdn_pallas_2d(x, gamma, beta, interpret=True)
+    numpy.testing.assert_allclose(numpy.asarray(out), numpy.asarray(gdn(x, gamma, beta)),
+                                  rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_igdn_matches_xla():
+    (x, gamma, beta) = _gdn_inputs(seed=1)
+    out = gdn_pallas_2d(x, gamma, beta, inverse=True, interpret=True)
+    numpy.testing.assert_allclose(numpy.asarray(out),
+                                  numpy.asarray(inverse_gdn(x, gamma, beta)),
+                                  rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_fused_gdn_quantize():
+    (x, gamma, beta) = _gdn_inputs(seed=2)
+    bin_widths = jnp.full((128,), 0.5, jnp.float32)
+    out = gdn_quantize_pallas_2d(x, gamma, beta, bin_widths, interpret=True)
+    expected = quantize_per_map(gdn(x, gamma, beta), bin_widths)
+    numpy.testing.assert_allclose(numpy.asarray(out), numpy.asarray(expected),
+                                  rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_gdn_row_padding():
+    # Non-multiple row counts exercise the pad/slice path.
+    (x, gamma, beta) = _gdn_inputs(rows=77, seed=3)
+    out = gdn_pallas_2d(x, gamma, beta, block_rows=64, interpret=True)
+    assert out.shape == x.shape
+    numpy.testing.assert_allclose(numpy.asarray(out), numpy.asarray(gdn(x, gamma, beta)),
+                                  rtol=1e-5, atol=1e-6)
+
+
+def test_explicit_tconv_matches_linear_transpose():
+    # The engine's hand-written lhs-dilated transposed conv must equal
+    # the parity path's jax.linear_transpose formulation exactly (it is
+    # the same linear operator).
+    rng = numpy.random.default_rng(7)
+    for (stride, kernel) in [(4, 9), (2, 5)]:
+        w = jnp.asarray(rng.normal(size=(kernel, kernel, 5, 3)).astype(numpy.float32))
+        y = jnp.asarray(rng.normal(size=(2, 6, 8, 3)).astype(numpy.float32))
+        expected = conv_eae.conv_transpose_same(y, w, stride)
+        got = engine._tconv_bf16(y, w, stride)
+        # bf16 inputs: error is bounded relative to the output scale,
+        # not elementwise (near-zero sums have large relative error).
+        scale = numpy.abs(numpy.asarray(expected)).max()
+        assert numpy.abs(numpy.asarray(got) - numpy.asarray(expected)).max() < 3e-2 * scale
+        # And in a float32 variant of the same formula, exact:
+        k = w.shape[0]
+        pad_total = k - stride
+        (lo, hi) = (pad_total // 2, pad_total - pad_total // 2)
+        w_t = jnp.transpose(w[::-1, ::-1, :, :], (0, 1, 3, 2))
+        exact = jax.lax.conv_general_dilated(
+            y, w_t, (1, 1),
+            ((k - 1 - lo, k - 1 - hi), (k - 1 - lo, k - 1 - hi)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        numpy.testing.assert_allclose(numpy.asarray(exact), numpy.asarray(expected),
+                                      rtol=1e-5, atol=1e-5)
+
+
+def test_int8_quantization_roundtrip_error():
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0), True)
+    qparams = engine.quantize_params_int8(params)
+    dequantized = engine.dequantize_int8_params(qparams, dtype=jnp.float32)
+    for name in ("weights_1", "weights_4"):
+        w = numpy.asarray(params[name])
+        wq = numpy.asarray(dequantized[name])
+        # absmax per-channel scaling bounds the error by scale/2.
+        axis = engine._OUT_AXIS[name]
+        reduce_axes = tuple(a for a in range(w.ndim) if a != axis)
+        scale = numpy.abs(w).max(axis=reduce_axes, keepdims=True) / 127.0
+        assert numpy.all(numpy.abs(w - wq) <= 0.5 * scale + 1e-9)
+    # Non-conv leaves pass through untouched.
+    numpy.testing.assert_array_equal(numpy.asarray(qparams["gamma_1"]),
+                                     numpy.asarray(params["gamma_1"]))
+
+
+def test_fold_bin_widths_exact():
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(1), True)
+    bin_widths = jnp.asarray(
+        numpy.random.default_rng(2).uniform(0.8, 4.0, 128).astype(numpy.float32))
+    rng = numpy.random.default_rng(3)
+    symbols = jnp.asarray(
+        rng.integers(-10, 11, size=(2, 4, 6, 128)).astype(numpy.float32))
+    # Reference: dequantize then decode (fp32 path).
+    reference = conv_eae.decode(params, symbols * bin_widths, True)
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    via_fold = conv_eae.decode(folded, symbols, True)
+    # Exact up to float32 rounding; the random-init IGDN cascade blows
+    # activations up to ~1e4+, so compare relative to the output scale.
+    ref = numpy.asarray(reference)
+    scale = numpy.abs(ref).max()
+    assert numpy.abs(numpy.asarray(via_fold) - ref).max() <= 1e-5 * scale
+
+
+def test_fold_rejects_fixed_bw_architecture():
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(2), False)
+    try:
+        engine.fold_bin_widths_into_decoder(params, jnp.ones(128))
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for the fixed-bw architecture")
+
+
+def test_fast_path_close_to_parity_path():
+    # bf16 activations + int8 weights must stay within a small PSNR-ish
+    # delta of the fp32 parity path on image-scale inputs.
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(3), True)
+    rng = numpy.random.default_rng(4)
+    images = jnp.asarray(rng.integers(16, 236, size=(2, 64, 64, 1))
+                         .astype(numpy.float32))
+    bin_widths = jnp.ones((128,), jnp.float32)
+
+    y_ref = conv_eae.encode(params, images, True)
+    q_ref = quantize_per_map(y_ref, bin_widths)
+    rec_ref = conv_eae.decode(params, q_ref, True)
+
+    qparams = engine.quantize_params_int8(params)
+    y_fast = engine.fast_encode(qparams, images, learn_bin_widths=True)
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    qfolded = engine.quantize_params_int8(folded)
+    symbols = jnp.round(y_fast / bin_widths)
+    rec_fast = engine.fast_decode(qfolded, symbols)
+
+    ref = numpy.asarray(rec_ref)
+    fast = numpy.asarray(rec_fast)
+    rms_signal = numpy.sqrt(numpy.mean(ref ** 2))
+    rms_delta = numpy.sqrt(numpy.mean((ref - fast) ** 2))
+    # Gross-breakage guard only: at random init the IGDN cascade
+    # amplifies the int8/bf16 error by orders of magnitude (activations
+    # reach ~1e4), so elementwise parity is meaningless here. The real
+    # accuracy gate for the fast path is PSNR-vs-parity-path on a
+    # *trained* model (decoder outputs in the BT.601 range), evaluated
+    # by the throughput/parity harness.
+    assert rms_delta < 0.12 * rms_signal
