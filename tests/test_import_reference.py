@@ -100,17 +100,20 @@ def test_import_rejects_oversized_grid():
 def test_import_real_tf_checkpoint(tmp_path):
     tf = pytest.importorskip("tensorflow")
     tf1 = tf.compat.v1
-    tf1.disable_eager_execution()
-    tf1.reset_default_graph()
     variables = _fake_reference_variables(learn_bin_widths=True, nb_maps=8)
-    for (name, value) in variables.items():
-        (scope, var) = name.split("/")
-        with tf1.variable_scope(scope, reuse=tf1.AUTO_REUSE):
-            tf1.get_variable(var, initializer=tf.constant(value))
     path = str(tmp_path / "model_1.ckpt")
-    with tf1.Session() as sess:
-        sess.run(tf1.global_variables_initializer())
-        tf1.train.Saver().save(sess, path)
+    # Build inside an explicit graph so eager mode stays enabled for
+    # the rest of the test process (disable_eager_execution is global).
+    graph = tf1.Graph()
+    with graph.as_default():
+        for (name, value) in variables.items():
+            (scope, var) = name.split("/")
+            with tf1.variable_scope(scope, reuse=tf1.AUTO_REUSE):
+                tf1.get_variable(var, initializer=tf1.constant(value))
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, path)
     from autoencoder_based_image_compression_tpu.utils.import_reference import (
         import_reference_checkpoint)
 
