@@ -85,13 +85,22 @@ def main():
     # not reliably block on experimental PJRT platforms - measured an
     # absurd 60 Gpix/s without a fetch). The checksum forces the whole
     # computation while keeping the transfer out of the timing.
+    #
+    # Sustained throughput: NB_IN_FLIGHT Kodak-24 batches are dispatched
+    # back-to-back before fetching, the way a serving pipeline runs.
+    # Single-shot timing would mostly measure this environment's ~27 ms
+    # per-dispatch tunnel latency (device compute itself is ~9 ms).
+    NB_IN_FLIGHT = 4
     batch_all = jax.device_put(jnp.asarray(images.astype(numpy.float32)))
 
     def run_ours():
-        numpy.asarray(fast_checksum(qparams, qfolded, batch_all, bin_widths))
+        checksums = [fast_checksum(qparams, qfolded, batch_all, bin_widths)
+                     for _ in range(NB_IN_FLIGHT)]
+        for checksum in checksums:
+            numpy.asarray(checksum)
 
     seconds = _timeit(run_ours)
-    mpix_per_s = nb_pixels / seconds / 1.0e6
+    mpix_per_s = NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():
