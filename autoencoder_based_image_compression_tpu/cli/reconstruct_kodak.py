@@ -29,7 +29,10 @@ from autoencoder_based_image_compression_tpu.utils.parsing import int_strictly_p
 
 GAMMAS_VARY = [10000.0, 12000.0, 16000.0, 24000.0, 40000.0, 72000.0, 96000.0]
 MULTIPLIERS = [1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
-JPEG2000_QUALITIES = list(range(24, 42, 2))
+# Pillow/OpenJPEG backend sweeps target compression ratios (the
+# reference's ImageMagick -quality {24..40} sweep covers the same
+# 0.1-1.2 bpp operating range).
+JPEG2000_RATIOS = (80, 64, 48, 32, 24, 16, 12, 8)
 HEVC_QPS = [22, 27, 32, 37, 42, 47]
 
 
@@ -57,9 +60,33 @@ def main(args=None):
     parser.add_argument("--cache_dir", default="results/rd")
     parser.add_argument("--hevc_encoder", default="",
                         help="path to HM TAppEncoderStatic (optional)")
+    parser.add_argument("--write_ref", action="store_true",
+                        help="save the reference luminance images as PNGs "
+                             "(rotated back per list_rotation.pkl)")
     args = parser.parse_args(args)
 
     images = numpy.load(args.path_to_bsds if args.use_bsds else args.path_to_kodak)
+
+    if args.write_ref:
+        # Reference ``reconstructing_eae_kodak.py:558-589``: persists the
+        # uncompressed references, undoing the dataset-build rotation.
+        from autoencoder_based_image_compression_tpu.utils.image import save_image
+
+        ref_dir = os.path.join(args.cache_dir, "reference")
+        os.makedirs(ref_dir, exist_ok=True)
+        path_rotation = os.path.join(
+            os.path.dirname(args.path_to_bsds if args.use_bsds else args.path_to_kodak),
+            "list_rotation.pkl")
+        list_rotation = []
+        if os.path.isfile(path_rotation):
+            with open(path_rotation, "rb") as file:
+                list_rotation = pickle.load(file)
+        for i in range(images.shape[0]):
+            luminance = images[i]
+            if i in list_rotation:
+                luminance = numpy.rot90(luminance, k=-1)
+            save_image(os.path.join(ref_dir, f"reference_{i}.png"), luminance)
+        print(f"reference images written to {ref_dir}")
     curves = []
 
     # Family 1: one fixed-bw model per gamma, unit bin widths.
@@ -110,7 +137,7 @@ def main(args=None):
         from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
             evaluate_jpeg2000)
 
-        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images, JPEG2000_QUALITIES)
+        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images, JPEG2000_RATIOS)
         curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
                        "JPEG2000", "x--"))
     except Exception as error:  # anchor optional

@@ -66,9 +66,9 @@ def main(args=None):
     try:
         from autoencoder_based_image_compression_tpu.codecs.jpeg import evaluate_jpeg
 
-        for (name, ext) in (("JPEG", "jpg"), ("JPEG2000", "jp2")):
-            (rates, psnrs) = evaluate_jpeg(test_uint8[:50], list(range(10, 95, 10)),
-                                           extension=ext)
+        for (name, codec, sweep) in (("JPEG", "jpeg", list(range(10, 95, 10))),
+                                     ("JPEG2000", "jpeg2000", [24, 16, 12, 8, 6, 4])):
+            (rates, psnrs) = evaluate_jpeg(test_uint8[:50], sweep, codec=codec)
             print(f"{name} anchor: rates {numpy.round(rates, 3)} "
                   f"psnrs {numpy.round(psnrs, 2)}")
     except Exception as error:

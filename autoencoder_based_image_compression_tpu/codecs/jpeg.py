@@ -1,18 +1,15 @@
 """JPEG / JPEG2000 anchors for RGB digits (the SVHN comparison).
 
-Reference ``svhn/jpeg/jpeg.py:75-303``: ImageMagick quality sweep on
-32x32 RGB digits for both codecs; rate from the compressed file size,
-PSNR over the RGB round trip.
+Reference ``svhn/jpeg/jpeg.py:75-303`` (ImageMagick quality sweep on
+32x32 RGB digits); default backend here is Pillow (libjpeg/OpenJPEG
+in-process), rate from the coded byte count, PSNR over the RGB round
+trip.
 """
 
-import os
-import subprocess
-import tempfile
+import io
 
 import numpy
-
-from autoencoder_based_image_compression_tpu.codecs.common import find_imagemagick
-from autoencoder_based_image_compression_tpu.utils.image import read_image_mode, save_image
+import PIL.Image
 
 
 def _psnr_rgb(reference_uint8, reconstruction_uint8):
@@ -23,28 +20,30 @@ def _psnr_rgb(reference_uint8, reconstruction_uint8):
     return 10.0 * numpy.log10((255.0 ** 2) / mse)
 
 
-def compress_rgb(rgb_uint8, quality, extension, work_dir):
-    """One RGB image through ImageMagick at one quality.
+def compress_rgb(rgb_uint8, quality, codec="jpeg"):
+    """One RGB image through Pillow at one quality setting.
 
-    ``extension`` selects the codec: "jpg" or "jp2". Returns
-    ``(rate_bpp, reconstruction_uint8)`` where rate is per pixel
-    (H*W, all three channels charged to the pixel budget like the
-    reference).
+    ``codec``: "jpeg" (quality 1-95) or "jpeg2000" (target compression
+    ratio). Returns ``(rate_bpp, reconstruction_uint8)`` with all three
+    channels charged to the pixel budget like the reference.
     """
-    magick = find_imagemagick()
-    path_png = os.path.join(work_dir, "in.png")
-    path_coded = os.path.join(work_dir, f"out.{extension}")
-    path_back = os.path.join(work_dir, "back.png")
-    save_image(path_png, rgb_uint8)
-    subprocess.check_call([magick, path_png, "-quality", str(quality), path_coded],
-                          stderr=subprocess.DEVNULL)
-    rate = 8.0 * os.path.getsize(path_coded) / (rgb_uint8.shape[0] * rgb_uint8.shape[1])
-    subprocess.check_call([magick, path_coded, path_back], stderr=subprocess.DEVNULL)
-    reconstruction = read_image_mode(path_back, "RGB")
+    image = PIL.Image.fromarray(rgb_uint8)
+    buffer = io.BytesIO()
+    if codec == "jpeg":
+        image.save(buffer, "JPEG", quality=int(quality))
+    elif codec == "jpeg2000":
+        image.save(buffer, "JPEG2000", quality_mode="rates",
+                   quality_layers=[quality], irreversible=True)
+    else:
+        raise ValueError(codec)
+    coded = buffer.getvalue()
+    rate = 8.0 * len(coded) / (rgb_uint8.shape[0] * rgb_uint8.shape[1])
+    reconstruction = numpy.asarray(
+        PIL.Image.open(io.BytesIO(coded)).convert("RGB"))
     return (rate, reconstruction)
 
 
-def evaluate_jpeg(rows_uint8, qualities, extension="jpg"):
+def evaluate_jpeg(rows_uint8, qualities, codec="jpeg"):
     """Quality sweep over flattened (N, 3072) digit rows.
 
     Returns mean ``(rates, psnrs)`` per quality (reference
@@ -53,11 +52,9 @@ def evaluate_jpeg(rows_uint8, qualities, extension="jpg"):
     nb_images = rows_uint8.shape[0]
     rates = numpy.zeros((nb_images, len(qualities)))
     psnrs = numpy.zeros((nb_images, len(qualities)))
-    with tempfile.TemporaryDirectory() as work_dir:
-        for i in range(nb_images):
-            rgb = rows_uint8[i].reshape(32, 32, 3)
-            for (j, quality) in enumerate(qualities):
-                (rates[i, j], reconstruction) = compress_rgb(
-                    rgb, quality, extension, work_dir)
-                psnrs[i, j] = _psnr_rgb(rgb, reconstruction)
+    for i in range(nb_images):
+        rgb = rows_uint8[i].reshape(32, 32, 3)
+        for (j, quality) in enumerate(qualities):
+            (rates[i, j], reconstruction) = compress_rgb(rgb, quality, codec)
+            psnrs[i, j] = _psnr_rgb(rgb, reconstruction)
     return (numpy.mean(rates, axis=0), numpy.mean(psnrs, axis=0))

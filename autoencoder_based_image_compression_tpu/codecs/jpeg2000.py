@@ -1,28 +1,51 @@
-"""JPEG2000 anchor via ImageMagick.
+"""JPEG2000 anchor.
 
-Reference ``kodak_tensorflow/jpeg2000/jpeg2000.py:50-291``: luminance
-image -> ``magick convert -quality q`` -> ``.jp2``; rate = 8 *
-file_bytes / pixels; PSNR from the decoded ``.jp2`` read back. The
-read-back uses ImageMagick again (the reference uses glymur; not baked
-into this environment).
+Reference ``kodak_tensorflow/jpeg2000/jpeg2000.py:50-291`` shells out to
+ImageMagick and reads back via glymur; here the default backend is
+Pillow's bundled OpenJPEG (no subprocess, no temp files), with
+ImageMagick kept as an alternative backend for environments that have
+it. Rate = 8 * coded_bytes / pixels, PSNR on the decoded round trip -
+the same accounting as the reference (``jpeg2000.py:120-122``).
+
+The sweep parameter is the target compression ratio (``quality_layers``)
+rather than ImageMagick's opaque ``-quality`` scale; both trace out the
+codec's RD curve.
 """
 
+import io
 import os
 import subprocess
 import tempfile
 
 import numpy
+import PIL.Image
 
 from autoencoder_based_image_compression_tpu.codecs.common import find_imagemagick
 from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
 from autoencoder_based_image_compression_tpu.utils.image import read_image_mode, save_image
 
+# Compression ratios sweeping the reference's operating range
+# (~0.1 - 1.2 bpp on 8-bit luminance).
+DEFAULT_RATIOS = (80, 64, 48, 32, 24, 16, 12, 8)
 
-def compress_jpeg2000(luminance_uint8, quality, work_dir):
-    """Compresses one luminance image at one quality.
+
+def compress_jpeg2000(luminance_uint8, ratio):
+    """One image at one target compression ratio via Pillow/OpenJPEG.
 
     Returns ``(rate_bpp, reconstruction_uint8)``.
     """
+    image = PIL.Image.fromarray(luminance_uint8)
+    buffer = io.BytesIO()
+    image.save(buffer, "JPEG2000", quality_mode="rates", quality_layers=[ratio],
+               irreversible=True)
+    coded = buffer.getvalue()
+    rate = 8.0 * len(coded) / luminance_uint8.size
+    reconstruction = numpy.asarray(PIL.Image.open(io.BytesIO(coded)))
+    return (rate, reconstruction)
+
+
+def compress_jpeg2000_imagemagick(luminance_uint8, quality, work_dir):
+    """ImageMagick backend (the reference's path), kept for parity runs."""
     magick = find_imagemagick()
     path_png = os.path.join(work_dir, "in.png")
     path_jp2 = os.path.join(work_dir, "out.jp2")
@@ -32,26 +55,34 @@ def compress_jpeg2000(luminance_uint8, quality, work_dir):
                           stderr=subprocess.DEVNULL)
     rate = 8.0 * os.path.getsize(path_jp2) / luminance_uint8.size
     subprocess.check_call([magick, path_jp2, path_back], stderr=subprocess.DEVNULL)
-    reconstruction = read_image_mode(path_back, "L")
-    return (rate, reconstruction)
+    return (rate, read_image_mode(path_back, "L"))
 
 
-def evaluate_jpeg2000(luminances_uint8, qualities):
-    """Quality sweep over an image stack.
+def evaluate_jpeg2000(luminances_uint8, ratios=DEFAULT_RATIOS, backend="pillow"):
+    """Ratio sweep over an image stack.
 
-    Returns ``(rates, psnrs)`` of shape (nb_images, nb_qualities)
+    Returns ``(rates, psnrs)`` of shape (nb_images, nb_points)
     (reference ``jpeg2000.py:201-291``).
     """
     nb_images = luminances_uint8.shape[0]
-    rates = numpy.zeros((nb_images, len(qualities)))
-    psnrs = numpy.zeros((nb_images, len(qualities)))
-    with tempfile.TemporaryDirectory() as work_dir:
+    rates = numpy.zeros((nb_images, len(ratios)))
+    psnrs = numpy.zeros((nb_images, len(ratios)))
+    if backend == "pillow":
         for i in range(nb_images):
             luminance = luminances_uint8[i]
             if luminance.ndim == 3:
                 luminance = luminance[:, :, 0]
-            for (j, quality) in enumerate(qualities):
-                (rates[i, j], reconstruction) = compress_jpeg2000(
-                    luminance, quality, work_dir)
+            for (j, ratio) in enumerate(ratios):
+                (rates[i, j], reconstruction) = compress_jpeg2000(luminance, ratio)
                 psnrs[i, j] = psnr_2d(luminance, reconstruction)
+    else:
+        with tempfile.TemporaryDirectory() as work_dir:
+            for i in range(nb_images):
+                luminance = luminances_uint8[i]
+                if luminance.ndim == 3:
+                    luminance = luminance[:, :, 0]
+                for (j, quality) in enumerate(ratios):
+                    (rates[i, j], reconstruction) = compress_jpeg2000_imagemagick(
+                        luminance, quality, work_dir)
+                    psnrs[i, j] = psnr_2d(luminance, reconstruction)
     return (rates, psnrs)

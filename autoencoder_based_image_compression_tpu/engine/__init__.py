@@ -10,6 +10,7 @@ the decoder's first transposed conv.
 from autoencoder_based_image_compression_tpu.engine.quantized import (
     dequantize_int8_params,
     fast_decode,
+    fast_decode_fixed_bw,
     fast_encode,
     fold_bin_widths_into_decoder,
     quantize_params_int8,

@@ -146,6 +146,26 @@ def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False)
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False):
+    """bf16 synthesis transform for the fixed-bin-width architecture.
+
+    IGDN_4 sits between the symbols and the first transposed conv
+    (``components.py:53-58``), so the dequantizer cannot fold into the
+    kernel; it runs inline instead (XLA fuses the elementwise scale
+    into the IGDN pool computation).
+    """
+    p = dequantize_int8_params(qparams)
+    x = symbols.astype(jnp.float32) * jnp.asarray(bin_widths)
+    x = _gdn_fast(x, p["gamma_4"], p["beta_4"], True, use_pallas)
+    x = _tconv_bf16(x, p["weights_4"], csts.STRIDE_3) + p["biases_4"]
+    x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
+    x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
+    x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+    return x.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
 def fast_decode(qparams_folded, symbols, use_pallas=False):
     """bf16 synthesis transform consuming raw integer symbols.
 

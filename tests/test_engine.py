@@ -130,6 +130,23 @@ def test_fold_rejects_fixed_bw_architecture():
     raise AssertionError("expected ValueError for the fixed-bw architecture")
 
 
+def test_fast_decode_fixed_bw_runs():
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(5), False)
+    qparams = engine.quantize_params_int8(params)
+    rng = numpy.random.default_rng(6)
+    symbols = jnp.asarray(rng.integers(-5, 6, size=(1, 2, 3, 128)).astype(numpy.float32))
+    bin_widths = jnp.full((128,), 1.5, jnp.float32)
+    out = engine.fast_decode_fixed_bw(qparams, symbols, bin_widths)
+    assert out.shape == (1, 32, 48, 1)
+    # Structurally consistent with the fp32 path (gross-breakage bound;
+    # see test_fast_path_close_to_parity_path for the rationale).
+    reference = conv_eae.decode(params, symbols * bin_widths, False)
+    ref = numpy.asarray(reference)
+    rms_signal = numpy.sqrt(numpy.mean(ref ** 2))
+    rms_delta = numpy.sqrt(numpy.mean((ref - numpy.asarray(out)) ** 2))
+    assert rms_delta < 0.12 * rms_signal
+
+
 def test_fast_path_close_to_parity_path():
     # bf16 activations + int8 weights must stay within a small PSNR-ish
     # delta of the fp32 parity path on image-scale inputs.
