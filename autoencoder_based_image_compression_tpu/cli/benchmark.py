@@ -18,6 +18,11 @@ import jax
 import numpy
 
 from autoencoder_based_image_compression_tpu.models import conv_eae
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 
 
 def main(args=None):

@@ -27,6 +27,13 @@ from autoencoder_based_image_compression_tpu.utils.parsing import (
     int_strictly_positive,
 )
 
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
+
 MULTIPLIERS = numpy.array([1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0],
                           dtype=numpy.float32)
 

@@ -23,6 +23,13 @@ from autoencoder_based_image_compression_tpu import constants as csts
 from autoencoder_based_image_compression_tpu.ops import density as dens
 from autoencoder_based_image_compression_tpu.ops.metrics import discrete_entropy
 
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
+
 PPI = 4
 MAX_ITVS = 32
 

@@ -20,6 +20,11 @@ from autoencoder_based_image_compression_tpu.utils.parsing import (
     float_strictly_positive,
     int_strictly_positive,
 )
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 
 
 def main(args=None):

@@ -27,6 +27,13 @@ from autoencoder_based_image_compression_tpu.utils.naming import (
 )
 from autoencoder_based_image_compression_tpu.utils.parsing import int_strictly_positive
 
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
+
 GAMMAS_VARY = [10000.0, 12000.0, 16000.0, 24000.0, 40000.0, 72000.0, 96000.0]
 MULTIPLIERS = [1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
 # Pillow/OpenJPEG backend sweeps target compression ratios (the

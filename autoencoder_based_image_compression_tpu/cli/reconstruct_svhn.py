@@ -20,6 +20,11 @@ from autoencoder_based_image_compression_tpu.models import dense_eae
 from autoencoder_based_image_compression_tpu.train.checkpoint import load_checkpoint
 from autoencoder_based_image_compression_tpu.utils.naming import experiment_suffix
 from autoencoder_based_image_compression_tpu.utils.parsing import float_strictly_positive
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 
 
 def _mean_psnr_rows(rows_uint8, rec_rows_uint8):

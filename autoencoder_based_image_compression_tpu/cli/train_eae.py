@@ -35,6 +35,11 @@ from autoencoder_based_image_compression_tpu.utils.parsing import (
     int_positive,
     int_strictly_positive,
 )
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 
 
 def build_parser():

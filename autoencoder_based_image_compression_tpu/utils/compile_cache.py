@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the full training step take minutes in
+remote-compile environments; the persistent cache makes every CLI
+invocation after the first start instantly. Call before the first
+``jit`` execution.
+"""
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "AEIC_COMPILE_CACHE", os.path.expanduser("~/.cache/aeic_jax_cache"))
+
+
+def enable_persistent_cache(cache_dir=DEFAULT_CACHE_DIR):
+    """Turns on the JAX persistent compilation cache (best effort)."""
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as error:  # cache support varies by platform
+        print(f"persistent compilation cache disabled: {error}")
