@@ -44,11 +44,12 @@ def make_sharded_step_fns(gamma_scaling, learn_bin_widths, mesh, state_template,
                                        **static)
         return state
 
+    # No buffer donation: experimental PJRT platforms can stall when
+    # compiling donated programs (see train/step.py).
     train_step = jax.jit(
         _full_step,
         in_shardings=(st_shardings, bt_sharding, rep),
         out_shardings=st_shardings,
-        donate_argnums=(0,),
     )
 
     def _evaluation(state, batch, key):

@@ -131,7 +131,7 @@ def _eae_bw_phase(state, visible_units, key, adam, gamma_scaling,
 
 def make_step_fns(gamma_scaling, learn_bin_widths,
                   ppi=csts.NB_POINTS_PER_INTERVAL, max_itvs=csts.MAX_ITVS_PER_SIDE,
-                  donate=True):
+                  donate=False):
     """Builds the jitted training/eval functions for one experiment.
 
     Returns a dict with:
@@ -147,6 +147,10 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
       (reference ``EntropyAutoencoder.py:542-589``) - returns
       ``(scaled_approx_entropy, rec_error, loss_density_approx, y)``
     """
+    # Donation halves peak memory on the state buffers but is off by
+    # default: some experimental PJRT platforms stall when compiling
+    # donated programs (observed: >280 s vs 118 s undonated on the same
+    # graph). Opt in with donate=True on platforms that support it.
     adam = make_adam(gamma_scaling)
     static = dict(learn_bin_widths=learn_bin_widths, ppi=ppi, max_itvs=max_itvs)
     donate_args = (0,) if donate else ()
