@@ -15,7 +15,17 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 
 def enable_persistent_cache(cache_dir=DEFAULT_CACHE_DIR):
-    """Turns on the JAX persistent compilation cache (best effort)."""
+    """Turns on the JAX persistent compilation cache (best effort) and
+    honors the ``AEIC_PLATFORM`` env override.
+
+    ``AEIC_PLATFORM=cpu`` forces the CPU backend even when a
+    sitecustomize module latched an accelerator platform at interpreter
+    start (env vars are too late by then; ``jax.config.update`` works
+    post-import).
+    """
+    platform = os.environ.get("AEIC_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
