@@ -92,12 +92,18 @@ def main(args=None):
         (key, sub) = jax.random.split(key)
         state = preliminary_fitting(training_uint8, state, step_fns, args.batch_size,
                                     args.nb_epochs_fitting, sub)
+    history = {"train_disc_entropy": [], "train_scaled_approx_entropy": [],
+               "train_rec_error": [], "val_rec_error": []}
     for epoch in range(args.nb_epochs_training):
         (key, k_train, k_eval_t, k_eval_v) = jax.random.split(key, 4)
         indicators_train = evaluate(state, training_uint8[:args.batch_size],
                                     step_fns, args.gamma, k_eval_t)
         indicators_val = evaluate(state, validation_uint8[:args.batch_size],
                                   step_fns, args.gamma, k_eval_v)
+        history["train_disc_entropy"].append(indicators_train[0])
+        history["train_scaled_approx_entropy"].append(indicators_train[1])
+        history["train_rec_error"].append(indicators_train[2])
+        history["val_rec_error"].append(indicators_val[2])
         print(f"epoch {epoch}: "
               f"train (disc-H, scaled-aH, rec, fct-loss)={indicators_train} "
               f"val={indicators_val} "
@@ -107,6 +113,18 @@ def main(args=None):
         state = run_epoch_training(training_uint8, state, step_fns, args.batch_size,
                                    nb_batches, k_train)
         save_checkpoint(path_next, state, allow_overwrite=True)
+    # Training-curve artifacts (reference training_eae_imagenet.py:259-326).
+    if args.nb_epochs_training > 1:
+        from autoencoder_based_image_compression_tpu.eval.visualization import (
+            plot_training_curves)
+
+        plot_training_curves(
+            {"train rec error": history["train_rec_error"],
+             "val rec error": history["val_rec_error"]},
+            os.path.join(exp_dir, f"rec_error_part_{args.idx_training}.png"))
+        plot_training_curves(
+            {"mean discrete entropy": history["train_disc_entropy"]},
+            os.path.join(exp_dir, f"entropy_part_{args.idx_training}.png"))
     elapsed = time.time() - t_start
     print(f"training part {args.idx_training} done in "
           f"{int(elapsed // 3600)}h {int((elapsed % 3600) // 60)}m")
