@@ -115,8 +115,8 @@ int aeic_encode_map(uint32_t size, const int16_t* input, uint8_t tu_len,
     aeic::Ueg0Codec codec(bac_stream, bypass_stream, tu_len, probabilities);
     for (uint32_t i = 0; i < size; ++i) codec.write(input[i]);
     codec.stop_encoding();
-    const auto& bac_bytes = bac_stream.bytes();
-    const auto& byp_bytes = bypass_stream.bytes();
+    const auto bac_bytes = bac_stream.bytes();
+    const auto byp_bytes = bypass_stream.bytes();
     if (bac_bytes.size() > bac_capacity_bytes ||
         byp_bytes.size() > bypass_capacity_bytes) {
       return 2;

@@ -28,16 +28,18 @@ namespace aeic {
 
 // Growable bit buffer with separate read/write cursors (LSB-first within
 // each byte). Unlike the reference's fixed-capacity Bitstream, capacity
-// grows on demand, so callers need no worst-case sizing.
+// grows on demand, so callers need no worst-case sizing. Writes go
+// through a staging byte so the hot path is branch-light (one growth
+// check per 8 bits instead of per bit).
 class BitVec {
  public:
   void push(uint8_t bit) {
-    const std::size_t byte = write_pos_ >> 3;
-    if (byte >= data_.size()) data_.push_back(0);
-    if (bit & 0x1u) {
-      data_[byte] = static_cast<uint8_t>(data_[byte] | (0x1u << (write_pos_ & 7)));
-    }
+    staging_ |= static_cast<uint8_t>((bit & 0x1u) << (write_pos_ & 7));
     ++write_pos_;
+    if ((write_pos_ & 7) == 0) {
+      data_.push_back(staging_);
+      staging_ = 0;
+    }
   }
 
   // Reads one bit; returns 0 past the end (the reference tolerates
@@ -45,7 +47,10 @@ class BitVec {
   // shift register's fresh bits at 0).
   uint8_t pull() {
     if (read_pos_ >= write_pos_) return 0;
-    const uint8_t bit = (data_[read_pos_ >> 3] >> (read_pos_ & 7)) & 0x1u;
+    const std::size_t byte = read_pos_ >> 3;
+    const uint8_t source =
+        (byte < data_.size()) ? data_[byte] : staging_;  // tail still staged
+    const uint8_t bit = (source >> (read_pos_ & 7)) & 0x1u;
     ++read_pos_;
     return bit;
   }
@@ -53,18 +58,30 @@ class BitVec {
   bool exhausted() const { return read_pos_ >= write_pos_; }
   std::uint64_t occupancy_in_bits() const { return write_pos_ - read_pos_; }
   std::uint64_t size_in_bits() const { return write_pos_; }
-  const std::vector<uint8_t>& bytes() const { return data_; }
 
+  // Materializes the byte image including the partially-filled staging
+  // byte (if any).
+  std::vector<uint8_t> bytes() const {
+    std::vector<uint8_t> out = data_;
+    if (write_pos_ & 7) out.push_back(staging_);
+    return out;
+  }
+
+  // Replaces the content with an external byte image. Pushing after a
+  // load whose bit count is not byte-aligned is unsupported (decode-
+  // only usage).
   void load(const uint8_t* bytes, std::uint64_t nb_bits) {
     data_.assign(bytes, bytes + ((nb_bits + 7) >> 3));
     write_pos_ = nb_bits;
     read_pos_ = 0;
+    staging_ = 0;
   }
 
  private:
   std::vector<uint8_t> data_;
   std::uint64_t write_pos_ = 0;
   std::uint64_t read_pos_ = 0;
+  uint8_t staging_ = 0;
 };
 
 // 16-bit static-probability binary range coder.
