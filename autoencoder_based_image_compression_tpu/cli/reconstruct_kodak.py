@@ -166,6 +166,41 @@ def main(args=None):
     else:
         print("No trained checkpoints found; nothing to evaluate.")
 
+    # Bjontegaard summaries: each EAE family vs each anchor, pickled
+    # like the reference's dictionary_bjontegaard_* artifacts
+    # (reconstructing_eae_kodak.py:837-856). Needs >=4 RD points per
+    # curve for the cubic fit.
+    anchors = [(label, r, p) for (r, p, label, _) in curves
+               if label in ("JPEG2000", "HEVC")]
+    eae_curves = [(label, r, p) for (r, p, label, _) in curves
+                  if label.startswith("EAE")]
+    from autoencoder_based_image_compression_tpu.ops.metrics import (
+        compute_bjontegaard)
+
+    summaries = {}
+    for (eae_label, eae_r, eae_p) in eae_curves:
+        for (anchor_label, anchor_r, anchor_p) in anchors:
+            if len(eae_r) < 4 or len(anchor_r) < 4:
+                continue
+            overlap = (min(numpy.max(eae_p), numpy.max(anchor_p))
+                       - max(numpy.min(eae_p), numpy.min(anchor_p)))
+            if overlap <= 0.5:  # dB; the cubic-fit integral needs real overlap
+                print(f"Bjontegaard {eae_label} vs {anchor_label}: skipped "
+                      f"(PSNR ranges overlap by {overlap:.2f} dB)")
+                continue
+            try:
+                delta = compute_bjontegaard(anchor_r, anchor_p, eae_r, eae_p)
+            except Exception as error:
+                print(f"Bjontegaard {eae_label} vs {anchor_label} failed: {error}")
+                continue
+            summaries[f"{eae_label} vs {anchor_label}"] = delta
+            print(f"Bjontegaard {eae_label} vs {anchor_label}: "
+                  f"{delta:+.2f}% bitrate")
+    if summaries:
+        with open(os.path.join(args.cache_dir, "dictionary_bjontegaard.pkl"),
+                  "wb") as file:
+            pickle.dump(summaries, file)
+
 
 if __name__ == "__main__":
     main()
