@@ -8,6 +8,13 @@ latent-map/model parallelism over the ``model`` axis, spatial sharding
 of the conv transforms over ICI with XLA-inserted halo exchanges.
 """
 
+from autoencoder_based_image_compression_tpu.parallel.distributed import (
+    agree_across_processes,
+    fetch_replicated,
+    global_batch,
+    global_state,
+    make_global_mesh,
+)
 from autoencoder_based_image_compression_tpu.parallel.mesh import (
     make_mesh,
     mesh_shape_for,
