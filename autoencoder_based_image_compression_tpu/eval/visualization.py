@@ -87,3 +87,147 @@ def plot_training_curves(history, path):
     plt.title("Training indicators")
     plt.savefig(path)
     plt.clf()
+
+
+def histogram(data, title, path):
+    """Plain 60-bin histogram artifact (reference ``tools/tools.py:595-613``)."""
+    plt.hist(numpy.asarray(data).flatten(), bins=60)
+    plt.title(title)
+    plt.savefig(path)
+    plt.clf()
+
+
+def visualize_luminances(luminances_uint8, nb_vertically, path):
+    """Arranges luminance images (N, H, W, 1) into one bordered mosaic.
+
+    Reference ``tools/tools.py:1220-1265``: 1-pixel white separators,
+    row-major placement.
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import save_image
+
+    if luminances_uint8.dtype != numpy.uint8:
+        raise TypeError("`luminances_uint8.dtype` is not equal to `numpy.uint8`.")
+    (nb_images, height_image, width_image, nb_channels) = luminances_uint8.shape
+    if nb_channels != 1:
+        raise ValueError("`luminances_uint8.shape[3]` is not equal to 1.")
+    nb_horizontally = -(-nb_images // nb_vertically)
+    mosaic = 255 * numpy.ones((nb_vertically * (height_image + 1) + 1,
+                               nb_horizontally * (width_image + 1) + 1),
+                              dtype=numpy.uint8)
+    for i in range(nb_vertically):
+        for j in range(nb_horizontally):
+            idx = i * nb_horizontally + j
+            if idx < nb_images:
+                mosaic[i * (height_image + 1) + 1:(i + 1) * (height_image + 1),
+                       j * (width_image + 1) + 1:(j + 1) * (width_image + 1)] = \
+                    luminances_uint8[idx, :, :, 0]
+    save_image(path, mosaic)
+
+
+def visualize_crops(image_uint8, positions_top_left, paths):
+    """Saves 2x-magnified 80x80 crops of a luminance image.
+
+    Reference ``tools/tools.py:1172-1218``; ``positions_top_left[:, i]``
+    is the (row, column) of the ith crop.
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import (
+        crop_repeat_2d,
+        save_image,
+    )
+
+    (nb_rows, nb_crops) = positions_top_left.shape
+    if nb_rows != 2:
+        raise ValueError("`positions_top_left.shape[0]` is not equal to 2.")
+    if len(paths) != nb_crops:
+        raise ValueError("`len(paths)` is not equal to `positions_top_left.shape[1]`.")
+    for i in range(nb_crops):
+        save_image(paths[i], crop_repeat_2d(image_uint8,
+                                            int(positions_top_left[0, i]),
+                                            int(positions_top_left[1, i])))
+
+
+def visualize_rotated_luminance(luminance_before_rotation_uint8, is_rotated,
+                                positions_top_left, paths):
+    """Rotates sideways Kodak images back, saves the image + its crops.
+
+    Reference ``tools/tools.py:1292-1330``: ``paths[0]`` receives the
+    (possibly rotated) image, the rest its crops.
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import save_image
+
+    if is_rotated:
+        image_uint8 = numpy.rot90(luminance_before_rotation_uint8, k=3).copy()
+    else:
+        image_uint8 = luminance_before_rotation_uint8.copy()
+    visualize_crops(image_uint8, positions_top_left, paths[1:])
+    save_image(paths[0], image_uint8)
+
+
+def visualize_dead(quantized_samples, path):
+    """Sign heat map of quantized latents: red > 0, black == 0, blue < 0.
+
+    The dense-side dead-latent visualization (reference
+    ``svhn/tools/tools.py:1342-1369``).
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import save_image
+
+    quantized_samples = numpy.asarray(quantized_samples)
+    (height, width) = quantized_samples.shape
+    black = numpy.zeros((height, width, 1), dtype=numpy.uint8)
+    blue = black.copy()
+    blue[quantized_samples < 0.0] = 255
+    red = black.copy()
+    red[quantized_samples > 0.0] = 255
+    save_image(path, numpy.concatenate((red, black, blue), axis=2))
+
+
+def visualize_images(images_uint8, nb_vertically, path):
+    """Arranges RGB images (H, W, 3, N) into one bordered RGB mosaic.
+
+    Reference ``svhn/tools/tools.py:1370-1415``.
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import save_image
+
+    if images_uint8.dtype != numpy.uint8:
+        raise TypeError("`images_uint8.dtype` is not equal to `numpy.uint8`.")
+    (height_image, width_image, nb_channels, nb_images) = images_uint8.shape
+    if nb_channels != 3:
+        raise ValueError("`images_uint8.shape[2]` is not equal to 3.")
+    nb_horizontally = -(-nb_images // nb_vertically)
+    mosaic = 255 * numpy.ones((nb_vertically * (height_image + 1) + 1,
+                               nb_horizontally * (width_image + 1) + 1, 3),
+                              dtype=numpy.uint8)
+    for i in range(nb_vertically):
+        for j in range(nb_horizontally):
+            idx = i * nb_horizontally + j
+            if idx < nb_images:
+                mosaic[i * (height_image + 1) + 1:(i + 1) * (height_image + 1),
+                       j * (width_image + 1) + 1:(j + 1) * (width_image + 1), :] = \
+                    images_uint8[:, :, :, idx]
+    save_image(path, mosaic)
+
+
+def visualize_rows(rows_uint8, height_image, width_image, nb_vertically, path):
+    """Reshapes planar rows to RGB images and saves their mosaic.
+
+    Reference ``svhn/tools/tools.py:1417-1442``.
+    """
+    from autoencoder_based_image_compression_tpu.utils.image import rows_to_images
+
+    visualize_images(rows_to_images(rows_uint8, height_image, width_image),
+                     nb_vertically, path)
+
+
+def visualize_dense_weights(weights, height_image, width_image, nb_vertically, path):
+    """Rescales dense weight rows to uint8 and mosaics them as RGB tiles.
+
+    The SVHN-side weight visualization (reference
+    ``svhn/tools/tools.py:1444-1474``); the conv-side grayscale analog
+    is :func:`visualize_weights`.
+    """
+    weights = numpy.asarray(weights, dtype=numpy.float64)
+    min_w = numpy.amin(weights)
+    max_w = numpy.amax(weights)
+    scale = (max_w - min_w) if max_w > min_w else 1.0
+    rows_uint8 = numpy.round(255.0 * (weights - min_w) / scale).astype(numpy.uint8)
+    visualize_rows(rows_uint8, height_image, width_image, nb_vertically, path)

@@ -181,3 +181,39 @@ def jensen_shannon_divergence(probs_0, probs_1):
     if divergence < 0.0 or divergence > 1.0:
         raise ValueError("The Jensen-Shannon divergence is out of [0., 1.].")
     return divergence
+
+
+def mean_psnr(reference_uint8, reconstruction_uint8):
+    """Mean PSNR over a batch of flattened uint8 images (rows).
+
+    Reference ``svhn/tools/tools.py:812-865``, including its refusal of
+    a zero-MSE pair (a perfect reconstruction is impossible in lossy
+    compression, so it indicates a pipeline bug).
+    """
+    if reference_uint8.dtype != numpy.uint8:
+        raise TypeError("`reference_uint8.dtype` is not equal to `numpy.uint8`.")
+    if reconstruction_uint8.dtype != numpy.uint8:
+        raise TypeError("`reconstruction_uint8.dtype` is not equal to `numpy.uint8`.")
+    if reference_uint8.ndim != 2:
+        raise ValueError("`reference_uint8.ndim` is not equal to 2.")
+    if reference_uint8.shape != reconstruction_uint8.shape:
+        raise ValueError(
+            "`reference_uint8.shape` is not equal to `reconstruction_uint8.shape`.")
+    mse = numpy.mean(
+        (reference_uint8.astype(numpy.float64)
+         - reconstruction_uint8.astype(numpy.float64)) ** 2, axis=1)
+    if numpy.any(mse == 0.0):
+        raise ValueError("The mean square error between a reference image and "
+                         "its reconstruction is equal to 0.")
+    return numpy.mean(10.0 * numpy.log10((255.0 ** 2) / mse))
+
+
+def count_zero_columns(array_2d):
+    """Number of all-zero columns - the dense-side dead-latent counter
+    (reference ``svhn/tools/tools.py:232-254``; the conv-side analog is
+    :func:`count_nb_deads`)."""
+    array_2d = numpy.asarray(array_2d)
+    if array_2d.ndim != 2:
+        raise ValueError("`array_2d.ndim` is not equal to 2.")
+    return array_2d.shape[1] - int(
+        numpy.count_nonzero(numpy.sum(numpy.absolute(array_2d), axis=0)))

@@ -89,6 +89,67 @@ def save_image(path, array_uint8):
     PIL.Image.fromarray(array_uint8).save(path)
 
 
+def images_to_rows(images_uint8):
+    """Reshapes each RGB image (H, W, 3, N) to a planar row (N, 3*H*W).
+
+    Inverse of :func:`rows_to_images`; channel planes are laid out
+    consecutively per row (reference ``svhn/tools/tools.py:563-607``,
+    vectorized instead of its per-image loop).
+    """
+    if images_uint8.dtype != numpy.uint8:
+        raise TypeError("`images_uint8.dtype` is not equal to `numpy.uint8`.")
+    (height_image, width_image, nb_channels, nb_images) = images_uint8.shape
+    if nb_channels != 3:
+        raise ValueError("`images_uint8.shape[2]` is not equal to 3.")
+    return numpy.ascontiguousarray(
+        numpy.transpose(images_uint8, (3, 2, 0, 1))).reshape(nb_images, -1)
+
+
+def rows_to_images(rows_uint8, height_image, width_image):
+    """Reshapes each planar row back to an RGB image (H, W, 3, N).
+
+    Inverse of :func:`images_to_rows` (reference
+    ``svhn/tools/tools.py:1212-1262``).
+    """
+    if rows_uint8.dtype != numpy.uint8:
+        raise TypeError("`rows_uint8.dtype` is not equal to `numpy.uint8`.")
+    (nb_images, nb_pixels_per_row) = rows_uint8.shape
+    if nb_pixels_per_row != 3 * height_image * width_image:
+        raise ValueError(
+            "`rows_uint8.shape[1]` is not equal to `3*height_image*width_image`.")
+    planes = rows_uint8.reshape(nb_images, 3, height_image, width_image)
+    return numpy.ascontiguousarray(numpy.transpose(planes, (2, 3, 1, 0)))
+
+
+def clean_sort_list_strings(list_strings, extension):
+    """Keeps the strings ending with the given extension(s), sorted.
+
+    Deterministic dataset-file ordering (reference
+    ``tools/tools.py:135-156``); ``extension`` may be a str or a tuple.
+    """
+    return sorted(string for string in list_strings if string.endswith(extension))
+
+
+def untar_archive(path_to_folder_extraction, path_to_tar):
+    """Extracts a local tar archive (any compression tarfile handles).
+
+    Local half of the reference's dataset-acquisition helpers
+    (``tools/tools.py:1157-1170``); downloading is out of scope in this
+    zero-egress environment, extraction of already-present archives is
+    not. Refuses members escaping the extraction folder.
+    """
+    import os
+    import tarfile
+
+    root = os.path.realpath(path_to_folder_extraction)
+    with tarfile.open(path_to_tar) as archive:
+        for member in archive.getmembers():
+            target = os.path.realpath(os.path.join(root, member.name))
+            if not (target == root or target.startswith(root + os.sep)):
+                raise ValueError(f"Unsafe tar member path: {member.name}")
+        archive.extractall(root, filter="data")
+
+
 def subdivide_set(nb_examples, batch_size):
     """Number of full mini-batches; raises when not divisible.
 
