@@ -25,19 +25,28 @@ from autoencoder_based_image_compression_tpu.ops.quantization import (
 )
 
 
-def time_with_checksum(fn, *args, repeats=5):
-    """Best-of-N wall time of ``jnp.sum(fn(*args))`` fetched to host."""
+def time_with_checksum(fn, *args, repeats=5, nb_in_flight=1):
+    """Best-of-N wall time of ``jnp.sum(fn(*args))`` fetched to host.
+
+    With ``nb_in_flight > 1``, that many executions are dispatched
+    back-to-back before any fetch (the sustained-serving pattern) and
+    the PER-EXECUTION time is returned - per-dispatch latency (tens of
+    ms through this environment's tunnel) then amortizes away.
+    """
     wrapped = jax.jit(lambda *a: jnp.sum(fn(*a)))
     numpy.asarray(wrapped(*args))  # compile + warm
     times = []
     for _ in range(repeats):
         start = time.perf_counter()
-        numpy.asarray(wrapped(*args))
-        times.append(time.perf_counter() - start)
+        checksums = [wrapped(*args) for _ in range(nb_in_flight)]
+        for checksum in checksums:
+            numpy.asarray(checksum)
+        times.append((time.perf_counter() - start) / nb_in_flight)
     return min(times)
 
 
-def parity_and_throughput(params, images_uint8, bin_widths, repeats=5):
+def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
+                          nb_in_flight=1):
     """Compares the fp32 parity path against the int8/bf16 fast path.
 
     Returns a dict with Mpix/s for both paths and the PSNR between
@@ -67,9 +76,10 @@ def parity_and_throughput(params, images_uint8, bin_widths, repeats=5):
         return engine.fast_decode(qfolded, symbols)
 
     seconds_parity = time_with_checksum(parity_path, params, images, bin_widths,
-                                        repeats=repeats)
+                                        repeats=repeats, nb_in_flight=nb_in_flight)
     seconds_fast = time_with_checksum(fast_path, qparams, qfolded, images,
-                                      bin_widths, repeats=repeats)
+                                      bin_widths, repeats=repeats,
+                                      nb_in_flight=nb_in_flight)
 
     rec_parity = cast_bt601(numpy.asarray(
         jax.jit(parity_path)(params, images, bin_widths)))

@@ -10,8 +10,8 @@ encode + quantize + decode megapixels per second on one chip.
 *same* computation: per-mini-batch host round-trips with a synchronous
 fetch after every batch (the reference's ``sess.run``-per-batch
 pattern, ``eae/batching.py:48-53``) at its batch size of 4
-(``reconstructing_eae_kodak.py:624``), versus our fully-batched
-async-dispatch pipeline.
+(``reconstructing_eae_kodak.py:624``), versus our scan-megabatched
+async-dispatch pipeline (``engine.fast_roundtrip_scan``).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -73,12 +73,6 @@ def main():
     qfolded = engine.quantize_params_int8(
         engine.fold_bin_widths_into_decoder(params, bin_widths))
 
-    @jax.jit
-    def fast_checksum(qparams, qfolded, batch, bin_widths):
-        y = engine.fast_encode(qparams, batch, learn_bin_widths=True)
-        symbols = jnp.round(y / bin_widths)
-        return jnp.sum(engine.fast_decode(qfolded, symbols))
-
     # A 4-byte checksum fetch is the completion barrier. Rationale:
     # fetching the full reconstruction would measure the dev-tunnel's
     # ~50 MB/s host link, not the chip (block_until_ready alone does
@@ -86,21 +80,30 @@ def main():
     # absurd 60 Gpix/s without a fetch). The checksum forces the whole
     # computation while keeping the transfer out of the timing.
     #
-    # Sustained throughput: NB_IN_FLIGHT Kodak-24 batches are dispatched
-    # back-to-back before fetching, the way a serving pipeline runs.
-    # Single-shot timing would mostly measure this environment's ~27 ms
-    # per-dispatch tunnel latency (device compute itself is ~9 ms).
-    NB_IN_FLIGHT = 4
+    # Sustained throughput: each dispatch runs a K-batch lax.scan
+    # megabatch (engine.fast_roundtrip_scan) and NB_IN_FLIGHT of those
+    # are in flight, the way the serving engine runs. Per-batch host
+    # dispatch would mostly measure this environment's ~27 ms tunnel
+    # latency; the device computes a Kodak-24 roundtrip in ~13 ms.
+    NB_SCAN = 8
+    NB_IN_FLIGHT = 2
     batch_all = jax.device_put(jnp.asarray(images.astype(numpy.float32)))
 
+    @jax.jit
+    def scan_checksum(qparams, qfolded, batch, bin_widths):
+        stack = jnp.broadcast_to(batch[None], (NB_SCAN,) + batch.shape)
+        (recs, symbols) = engine.fast_roundtrip_scan(qparams, qfolded, stack,
+                                                     bin_widths)
+        return jnp.sum(recs) + jnp.sum(symbols)
+
     def run_ours():
-        checksums = [fast_checksum(qparams, qfolded, batch_all, bin_widths)
+        checksums = [scan_checksum(qparams, qfolded, batch_all, bin_widths)
                      for _ in range(NB_IN_FLIGHT)]
         for checksum in checksums:
             numpy.asarray(checksum)
 
     seconds = _timeit(run_ours)
-    mpix_per_s = NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
+    mpix_per_s = NB_SCAN * NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():

@@ -178,3 +178,28 @@ def test_fast_path_close_to_parity_path():
     # *trained* model (decoder outputs in the BT.601 range), evaluated
     # by the throughput/parity harness.
     assert rms_delta < 0.12 * rms_signal
+
+
+def test_fast_roundtrip_scan_matches_per_batch():
+    """One scan dispatch over K stacked batches must reproduce the
+    per-batch fast path exactly (same program, different dispatch)."""
+    rng = numpy.random.default_rng(11)
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(2), True)
+    bin_widths = jnp.asarray(0.5 + rng.random(128).astype(numpy.float32))
+    qparams = engine.quantize_params_int8(params)
+    qfolded = engine.quantize_params_int8(
+        engine.fold_bin_widths_into_decoder(params, bin_widths))
+    stack = jnp.asarray(rng.integers(0, 256, size=(3, 2, 32, 32, 1))
+                        .astype(numpy.float32))
+    (recs, symbols) = engine.fast_roundtrip_scan(qparams, qfolded, stack,
+                                                 bin_widths)
+    assert recs.shape == stack.shape
+    assert symbols.shape == (3, 2, 2, 2, 128)
+    for k in range(3):
+        y = engine.fast_encode(qparams, stack[k], learn_bin_widths=True)
+        sym = jnp.round(y / bin_widths)
+        rec = engine.fast_decode(qfolded, sym)
+        numpy.testing.assert_array_equal(numpy.asarray(symbols[k]),
+                                         numpy.asarray(sym))
+        numpy.testing.assert_allclose(numpy.asarray(recs[k]),
+                                      numpy.asarray(rec), rtol=1e-6, atol=1e-5)
