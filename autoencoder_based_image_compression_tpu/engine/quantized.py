@@ -119,6 +119,71 @@ def _tconv_bf16(y, w, stride):
         preferred_element_type=jnp.float32)
 
 
+def _space_to_depth(x, block=4):
+    """(B, H, W, 1) -> (B, H/b, W/b, b*b); channel index = i*b + j for
+    pixel (i, j) inside each block."""
+    (batch, height, width, _) = x.shape
+    x = x.reshape(batch, height // block, block, width // block, block)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(
+        batch, height // block, width // block, block * block)
+
+
+def _depth_to_space(x, block=4):
+    """Inverse of :func:`_space_to_depth`."""
+    (batch, height_blocks, width_blocks, _) = x.shape
+    x = x.reshape(batch, height_blocks, width_blocks, block, block)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(
+        batch, height_blocks * block, width_blocks * block, 1)
+
+
+def _s2d_kernel_from_conv1(w9):
+    """Rearranges the (9, 9, 1, nb_out) stride-4 kernel into the
+    (3, 3, 16, nb_out) kernel of the space-to-depth formulation.
+
+    A TF-SAME 9x9 stride-4 conv on a 1-channel image pads (2, 3); after
+    space-to-depth(4) the same linear map is a 3x3 stride-1 SAME conv
+    over 16-channel block-pixels: tap t (offset d = t-2 from the output
+    block's origin) lands in block a = 1 + floor(d/4) at intra-block
+    position j = d mod 4. One input channel starves the MXU's 128-lane
+    contraction; 16 channels cut the first/last transforms' wall time.
+    """
+    (_, _, _, nb_out) = w9.shape
+    wk = jnp.zeros((3, 3, 16, nb_out), w9.dtype)
+    for t_h in range(9):
+        (a_h, j_h) = (1 + (t_h - 2) // 4, (t_h - 2) % 4)
+        for t_w in range(9):
+            (a_w, j_w) = (1 + (t_w - 2) // 4, (t_w - 2) % 4)
+            wk = wk.at[a_h, a_w, j_h * 4 + j_w, :].set(w9[t_h, t_w, 0, :])
+    return wk
+
+
+def _conv1_s2d(x, w9, dtype=jnp.bfloat16):
+    """The encoder's first conv as space-to-depth + 3x3 conv."""
+    wk = _s2d_kernel_from_conv1(w9)
+    return jax.lax.conv_general_dilated(
+        _space_to_depth(x).astype(dtype), wk.astype(dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _tconv6_s2d(y, w9, dtype=jnp.bfloat16):
+    """The decoder's last transposed conv as 3x3 conv + depth-to-space.
+
+    The adjoint of ``s2d -> conv(wk)`` is ``conv(wk flipped, io-swapped)
+    -> d2s`` (stride-1 SAME 3x3 is self-adjoint in its padding), which
+    is exactly the TF-SAME 9x9 stride-4 transposed conv.
+    """
+    wk = _s2d_kernel_from_conv1(w9)
+    wk_t = jnp.transpose(wk[::-1, ::-1, :, :], (0, 1, 3, 2))
+    out16 = jax.lax.conv_general_dilated(
+        y.astype(dtype), wk_t.astype(dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return _depth_to_space(out16)
+
+
 def _gdn_fast(x, gamma, beta, inverse, use_pallas):
     if use_pallas:
         from autoencoder_based_image_compression_tpu.ops.pallas.gdn_kernel import (
@@ -131,11 +196,20 @@ def _gdn_fast(x, gamma, beta, inverse, use_pallas):
     return fn(x.astype(jnp.float32), gamma, beta)
 
 
-@functools.partial(jax.jit, static_argnames=("learn_bin_widths", "use_pallas"))
-def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False):
-    """bf16 analysis transform over int8-stored weights."""
+@functools.partial(jax.jit,
+                   static_argnames=("learn_bin_widths", "use_pallas", "use_s2d"))
+def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False,
+                use_s2d=True):
+    """bf16 analysis transform over int8-stored weights.
+
+    ``use_s2d`` runs the first conv in its space-to-depth formulation
+    (16 input channels instead of 1 - see :func:`_s2d_kernel_from_conv1`).
+    """
     p = dequantize_int8_params(qparams)
-    x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1) + p["biases_1"]
+    if use_s2d:
+        x = _conv1_s2d(visible_units, p["weights_1"]) + p["biases_1"]
+    else:
+        x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1) + p["biases_1"]
     x = _gdn_fast(x, p["gamma_1"], p["beta_1"], False, use_pallas)
     x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2) + p["biases_2"]
     x = _gdn_fast(x, p["gamma_2"], p["beta_2"], False, use_pallas)
@@ -145,8 +219,9 @@ def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False)
     return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
+def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False,
+                         use_s2d=True):
     """bf16 synthesis transform for the fixed-bin-width architecture.
 
     IGDN_4 sits between the symbols and the first transposed conv
@@ -161,13 +236,16 @@ def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False):
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
     x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+    if use_s2d:
+        x = _tconv6_s2d(x, p["weights_6"])
+    else:
+        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
     return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
 def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
-                        use_pallas=False):
+                        use_pallas=False, use_s2d=True):
     """Encode+quantize+decode K batches in ONE device program.
 
     ``stacked_batches`` is (K, B, H, W, 1); a ``lax.scan`` runs the full
@@ -181,22 +259,24 @@ def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
     """
     def body(carry, batch):
         y = fast_encode(qparams, batch, learn_bin_widths=True,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, use_s2d=use_s2d)
         symbols = jnp.round(y / bin_widths)
         return (carry, (fast_decode(qparams_folded, symbols,
-                                    use_pallas=use_pallas), symbols))
+                                    use_pallas=use_pallas, use_s2d=use_s2d),
+                        symbols))
 
     (_, (reconstructions, symbols)) = jax.lax.scan(body, 0, stacked_batches)
     return (reconstructions, symbols)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def fast_decode(qparams_folded, symbols, use_pallas=False):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
+def fast_decode(qparams_folded, symbols, use_pallas=False, use_s2d=True):
     """bf16 synthesis transform consuming raw integer symbols.
 
     ``qparams_folded`` must come from :func:`fold_bin_widths_into_decoder`
     (dequant already inside ``weights_4``). Learned-bin-width
-    architecture only.
+    architecture only. ``use_s2d`` runs the last transposed conv in its
+    depth-to-space formulation (16 output channels instead of 1).
     """
     p = dequantize_int8_params(qparams_folded)
     x = _tconv_bf16(symbols.astype(jnp.float32), p["weights_4"], csts.STRIDE_3)
@@ -204,5 +284,8 @@ def fast_decode(qparams_folded, symbols, use_pallas=False):
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
     x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+    if use_s2d:
+        x = _tconv6_s2d(x, p["weights_6"])
+    else:
+        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
     return x.astype(jnp.float32)

@@ -203,3 +203,58 @@ def test_fast_roundtrip_scan_matches_per_batch():
                                          numpy.asarray(sym))
         numpy.testing.assert_allclose(numpy.asarray(recs[k]),
                                       numpy.asarray(rec), rtol=1e-6, atol=1e-5)
+
+
+def test_space_to_depth_conv1_matches_strided_conv():
+    """The s2d formulation of the 9x9 stride-4 conv must reproduce the
+    TF-SAME strided conv exactly (both sides computed in fp32)."""
+    rng = numpy.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 64, 48, 1)).astype(numpy.float32))
+    w9 = jnp.asarray(rng.normal(size=(9, 9, 1, 128)).astype(numpy.float32))
+    direct = jax.lax.conv_general_dilated(
+        x, w9, window_strides=(4, 4), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    s2d = engine._conv1_s2d(x, w9, dtype=jnp.float32)
+    numpy.testing.assert_allclose(numpy.asarray(s2d), numpy.asarray(direct),
+                                  rtol=1e-5, atol=1e-4)
+
+
+def test_depth_to_space_tconv6_matches_transposed_conv():
+    """fp32 s2d transposed conv vs the true linear transpose of the
+    fp32 strided conv."""
+    rng = numpy.random.default_rng(6)
+    y = jnp.asarray(rng.normal(size=(2, 16, 12, 128)).astype(numpy.float32))
+    w9 = jnp.asarray(rng.normal(size=(9, 9, 1, 128)).astype(numpy.float32))
+
+    def forward(x):
+        return jax.lax.conv_general_dilated(
+            x, w9, window_strides=(4, 4), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x0 = jnp.zeros((2, 64, 48, 1), jnp.float32)
+    (direct,) = jax.linear_transpose(forward, x0)(y)
+    s2d = engine._tconv6_s2d(y, w9, dtype=jnp.float32)
+    numpy.testing.assert_allclose(numpy.asarray(s2d), numpy.asarray(direct),
+                                  rtol=1e-5, atol=1e-4)
+
+
+def test_fast_path_s2d_matches_plain():
+    """bf16 fast path with and without space-to-depth agrees closely."""
+    rng = numpy.random.default_rng(7)
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(3), True)
+    bin_widths = jnp.ones((128,), jnp.float32)
+    qparams = engine.quantize_params_int8(params)
+    qfolded = engine.quantize_params_int8(
+        engine.fold_bin_widths_into_decoder(params, bin_widths))
+    batch = jnp.asarray(rng.integers(0, 256, size=(2, 32, 32, 1))
+                        .astype(numpy.float32))
+    y_plain = engine.fast_encode(qparams, batch, use_s2d=False)
+    y_s2d = engine.fast_encode(qparams, batch, use_s2d=True)
+    numpy.testing.assert_allclose(numpy.asarray(y_s2d), numpy.asarray(y_plain),
+                                  rtol=1e-2, atol=2e-2)
+    symbols = jnp.round(y_plain / bin_widths)
+    rec_plain = engine.fast_decode(qfolded, symbols, use_s2d=False)
+    rec_s2d = engine.fast_decode(qfolded, symbols, use_s2d=True)
+    numpy.testing.assert_allclose(numpy.asarray(rec_s2d),
+                                  numpy.asarray(rec_plain),
+                                  rtol=1e-2, atol=2e-2)
