@@ -89,15 +89,15 @@ def fold_bin_widths_into_decoder(params, bin_widths):
     return folded
 
 
-def _conv_bf16(x, w, stride):
+def _conv_bf16(x, w, stride, out_dtype=jnp.float32):
     return jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
 
 
-def _tconv_bf16(y, w, stride):
+def _tconv_bf16(y, w, stride, out_dtype=jnp.float32):
     """Transpose of the TF-SAME strided conv, written explicitly.
 
     The gradient conv of a SAME conv with kernel k, stride s and pads
@@ -116,7 +116,7 @@ def _tconv_bf16(y, w, stride):
         padding=((k - 1 - lo, k - 1 - hi), (k - 1 - lo, k - 1 - hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
 
 
 def _space_to_depth(x, block=4):
@@ -157,14 +157,14 @@ def _s2d_kernel_from_conv1(w9):
     return wk
 
 
-def _conv1_s2d(x, w9, dtype=jnp.bfloat16):
+def _conv1_s2d(x, w9, dtype=jnp.bfloat16, out_dtype=jnp.float32):
     """The encoder's first conv as space-to-depth + 3x3 conv."""
     wk = _s2d_kernel_from_conv1(w9)
     return jax.lax.conv_general_dilated(
         _space_to_depth(x).astype(dtype), wk.astype(dtype),
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
 
 
 def _tconv6_s2d(y, w9, dtype=jnp.bfloat16):
@@ -190,6 +190,14 @@ def _gdn_fast(x, gamma, beta, inverse, use_pallas):
             gdn_pallas)
 
         return gdn_pallas(x.astype(jnp.float32), gamma, beta, inverse=inverse)
+    if x.dtype == jnp.bfloat16:
+        # Fast path keeps activations bf16 *through* the normalization:
+        # at the H/4 feature resolution GDN is HBM-bandwidth-bound, so
+        # halving the streamed bytes is worth ~20% end-to-end (pool
+        # matmul still accumulates fp32; rsqrt in fp32 - ops/gdn.py).
+        from autoencoder_based_image_compression_tpu.ops.gdn import gdn_lowp
+
+        return gdn_lowp(x, gamma, beta, inverse=inverse)
     from autoencoder_based_image_compression_tpu.ops.gdn import gdn, inverse_gdn
 
     fn = inverse_gdn if inverse else gdn
@@ -206,16 +214,24 @@ def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False,
     (16 input channels instead of 1 - see :func:`_s2d_kernel_from_conv1`).
     """
     p = dequantize_int8_params(qparams)
+    bf16 = jnp.bfloat16
+    # Intermediate activations stream bf16 end-to-end (convs accumulate
+    # fp32 on the MXU, GDN pools accumulate fp32); only the latent y is
+    # emitted fp32 so the quantizer's rounding keeps full resolution.
     if use_s2d:
-        x = _conv1_s2d(visible_units, p["weights_1"]) + p["biases_1"]
+        x = _conv1_s2d(visible_units, p["weights_1"], out_dtype=bf16)
     else:
-        x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1) + p["biases_1"]
+        x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1,
+                       out_dtype=bf16)
+    x = x + p["biases_1"].astype(bf16)
     x = _gdn_fast(x, p["gamma_1"], p["beta_1"], False, use_pallas)
-    x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2) + p["biases_2"]
+    x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2, out_dtype=bf16)
+    x = x + p["biases_2"].astype(bf16)
     x = _gdn_fast(x, p["gamma_2"], p["beta_2"], False, use_pallas)
     x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3) + p["biases_3"]
     if not learn_bin_widths:
-        x = _gdn_fast(x, p["gamma_3"], p["beta_3"], False, use_pallas)
+        x = _gdn_fast(x.astype(jnp.float32), p["gamma_3"], p["beta_3"], False,
+                      use_pallas)
     return x.astype(jnp.float32)
 
 
@@ -230,11 +246,14 @@ def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False,
     into the IGDN pool computation).
     """
     p = dequantize_int8_params(qparams)
+    bf16 = jnp.bfloat16
     x = symbols.astype(jnp.float32) * jnp.asarray(bin_widths)
     x = _gdn_fast(x, p["gamma_4"], p["beta_4"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_4"], csts.STRIDE_3) + p["biases_4"]
+    x = _tconv_bf16(x, p["weights_4"], csts.STRIDE_3, out_dtype=bf16)
+    x = x + p["biases_4"].astype(bf16)
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=bf16)
+    x = x + p["biases_5"].astype(bf16)
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
     if use_s2d:
         x = _tconv6_s2d(x, p["weights_6"])
@@ -279,10 +298,13 @@ def fast_decode(qparams_folded, symbols, use_pallas=False, use_s2d=True):
     depth-to-space formulation (16 output channels instead of 1).
     """
     p = dequantize_int8_params(qparams_folded)
-    x = _tconv_bf16(symbols.astype(jnp.float32), p["weights_4"], csts.STRIDE_3)
-    x = x + p["biases_4"]
+    bf16 = jnp.bfloat16
+    x = _tconv_bf16(symbols.astype(jnp.float32), p["weights_4"], csts.STRIDE_3,
+                    out_dtype=bf16)
+    x = x + p["biases_4"].astype(bf16)
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2) + p["biases_5"]
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=bf16)
+    x = x + p["biases_5"].astype(bf16)
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
     if use_s2d:
         x = _tconv6_s2d(x, p["weights_6"])

@@ -50,6 +50,23 @@ def inverse_gdn(x, gamma, beta):
     return x * jnp.sqrt(_norm_pool(x, gamma, beta))
 
 
+def gdn_lowp(x, gamma, beta, inverse=False):
+    """GDN/IGDN in the (low-precision) dtype of ``x``.
+
+    Inference fast path: the fp32 GDN at the H/4 feature resolution is
+    HBM-bandwidth-bound (the pool matmul is tiny next to the two passes
+    over a gigabyte-scale activation), so the engine keeps activations
+    bfloat16 *through* the normalization. The squared-channel pool still
+    accumulates in float32 on the MXU (``preferred_element_type``) and
+    the rsqrt/sqrt runs in float32; only the streamed tensors are bf16.
+    """
+    pool = jnp.einsum("...k,kc->...c", jnp.square(x), gamma.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+    pool = pool + beta
+    scale = jnp.sqrt(pool) if inverse else jax.lax.rsqrt(pool)
+    return (x.astype(jnp.float32) * scale).astype(x.dtype)
+
+
 def init_gdn_gamma(key, nb_maps, min_gamma=2.0e-5, max_gamma=0.01):
     """Symmetric uniform init of the GDN weights.
 
