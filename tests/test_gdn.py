@@ -66,3 +66,25 @@ def test_init_gdn_gamma_rejects_bad_min():
     except ValueError:
         return
     raise AssertionError("expected ValueError for min_gamma outside ]0, 0.01]")
+
+
+def test_gdn_lowp_tracks_fp32_gdn():
+    """The bf16 fast-path GDN/IGDN must track the fp32 op to bf16
+    relative precision (fp32 pool accumulation keeps the error at the
+    input-rounding level, ~1e-2 relative)."""
+    from autoencoder_based_image_compression_tpu.ops.gdn import gdn_lowp
+    import jax.numpy as jnp
+
+    rng = numpy.random.default_rng(7)
+    x = rng.normal(size=(2, 8, 8, 32)).astype(numpy.float32) * 10.0
+    gamma = numpy.asarray(init_gdn_gamma(jax.random.PRNGKey(1), 32))
+    beta = rng.uniform(0.5, 1.5, size=(32,)).astype(numpy.float32)
+
+    for inverse in (False, True):
+        exact = numpy.asarray((inverse_gdn if inverse else gdn)(x, gamma, beta))
+        low = numpy.asarray(
+            gdn_lowp(jnp.asarray(x, jnp.bfloat16), jnp.asarray(gamma),
+                     jnp.asarray(beta), inverse=inverse).astype(jnp.float32))
+        scale = numpy.abs(exact).max()
+        assert numpy.abs(exact - low).max() < 2.0e-2 * scale
+        assert low.dtype == numpy.float32  # cast back for the comparison
