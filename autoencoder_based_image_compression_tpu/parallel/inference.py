@@ -99,52 +99,82 @@ class PipelinedCompressor:
     def __init__(self, params, bin_widths, learn_bin_widths, binary_probabilities,
                  map_mean, idx_map_exception=-1, mesh=None, batch_size=4):
         from autoencoder_based_image_compression_tpu.coding.compression import (
-            rescale_compress_lossless_maps)
+            compress_lossless_maps)
 
-        self._compress = rescale_compress_lossless_maps
+        self._compress_maps = compress_lossless_maps
         self.params = params
-        self.bin_widths = numpy.asarray(bin_widths)
+        self.bin_widths = jnp.asarray(bin_widths, jnp.float32)
         self.learn_bin_widths = learn_bin_widths
-        self.binary_probabilities = binary_probabilities
-        self.map_mean = numpy.asarray(map_mean)
+        self.binary_probabilities = (
+            numpy.load(binary_probabilities)
+            if isinstance(binary_probabilities, str) else binary_probabilities)
+        self.map_mean = jnp.asarray(map_mean, jnp.float32)
         self.idx_map_exception = idx_map_exception
         self.batch_size = batch_size
-        (self.encode_fn, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
-        # Raw decoder: the pipeline feeds latents that are already
-        # quantized (and re-centered), so no fused quantizer here.
-        self.decode_fn = jax.jit(functools.partial(
-            conv_eae.decode, learn_bin_widths=learn_bin_widths))
+        (_, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
+
+        def _encode_symbols(params, batch, bin_widths, map_mean):
+            # Centering by the extra-set map means and quantization run
+            # on device; the host fetches int16 symbols - the coder's
+            # native dtype and HALF the bytes of the fp32 latents (the
+            # host link is the scarce resource in serving). The fp32
+            # magnitude check mirrors cast_float_to_int16's guard.
+            y = conv_eae.encode(params, batch, learn_bin_widths)
+            sym = jnp.round((y - map_mean) / bin_widths)
+            return (sym.astype(jnp.int16), jnp.max(jnp.abs(sym)))
+
+        def _decode_symbols(params, symbols, bin_widths, map_mean):
+            quantized = symbols.astype(jnp.float32) * bin_widths + map_mean
+            return conv_eae.decode(params, quantized, learn_bin_widths)
+
+        self.encode_symbols_fn = jax.jit(_encode_symbols)
+        self.decode_symbols_fn = jax.jit(_decode_symbols)
+
+    def _compress_one(self, symbols_int16):
+        """Codes one image's (h, w, maps) int16 symbols; asserts the
+        bit-exact round trip (reference ``compression.py:151-153``)."""
+        (rec, bits) = self._compress_maps(
+            symbols_int16, self.binary_probabilities, self.idx_map_exception)
+        numpy.testing.assert_equal(
+            rec, symbols_int16,
+            err_msg="The lossless compression has altered the symbols.")
+        return int(bits.sum())
 
     def __call__(self, images_uint8):
         """Returns (reconstructions_f32, nb_bits_per_image).
 
         Latent centering by the extra-set map means before quantization
         and the re-add before decode follow
-        ``reconstructing_eae_kodak.py:170-213``.
+        ``reconstructing_eae_kodak.py:170-213``; here both run inside
+        the device dispatches, and the decoder consumes the
+        device-resident symbols (no host re-upload).
         """
         import concurrent.futures
 
         nb = images_uint8.shape[0]
         bits = [0] * nb
         reconstructions = []
+        max_abs = []
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
             coding_futures = []
             for start in range(0, nb, self.batch_size):
                 batch = self.put(jnp.asarray(
                     images_uint8[start:start + self.batch_size].astype(numpy.float32)))
-                latents = self.encode_fn(self.params, batch)
-                centered = numpy.asarray(latents) - self.map_mean
-                centered_quantized = numpy.asarray(
-                    quantize_per_map(centered, self.bin_widths))
-                # Host coding of this batch proceeds while the device
-                # decodes it (async dispatch below).
-                for (j, one) in enumerate(centered_quantized):
-                    coding_futures.append((start + j, pool.submit(
-                        self._compress, one, self.bin_widths,
-                        self.binary_probabilities, self.idx_map_exception)))
-                quantized = jnp.asarray(centered_quantized + self.map_mean)
-                reconstructions.append(self.decode_fn(self.params, quantized))
+                (symbols, batch_max) = self.encode_symbols_fn(
+                    self.params, batch, self.bin_widths, self.map_mean)
+                max_abs.append(batch_max)
+                # Decode dispatches on the device-resident symbols before
+                # the host fetch, so the device keeps computing while the
+                # int16 symbols stream to the coder thread pool.
+                reconstructions.append(self.decode_symbols_fn(
+                    self.params, symbols, self.bin_widths, self.map_mean))
+                symbols_host = numpy.asarray(symbols)
+                for (j, one) in enumerate(symbols_host):
+                    coding_futures.append(
+                        (start + j, pool.submit(self._compress_one, one)))
             for (idx, fut) in coding_futures:
                 bits[idx] = fut.result()
+        if float(jnp.max(jnp.stack(max_abs))) >= 32767.0:
+            raise OverflowError("A symbol magnitude exceeds the int16 range.")
         recs = numpy.concatenate([numpy.asarray(r) for r in reconstructions], axis=0)
         return (recs, numpy.asarray(bits))
