@@ -58,3 +58,37 @@ def test_pipelined_compressor_end_to_end(tmp_path):
     from autoencoder_based_image_compression_tpu.ops.quantization import cast_bt601
 
     numpy.testing.assert_array_equal(cast_bt601(reconstructions), expected)
+
+
+def test_device_symbols_match_reference_host_quantization():
+    """The on-device symbol extraction (round((y - mean)/delta) as int16)
+    must reproduce the reference-style host chain: quantize_per_map on
+    the centered latents, divide by delta, cast_float_to_int16
+    (``lossless/compression.py:137-142``)."""
+    import jax.numpy as jnp
+
+    from autoencoder_based_image_compression_tpu.ops.quantization import (
+        cast_float_to_int16, quantize_per_map)
+
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(3), True)
+    rng = numpy.random.default_rng(4)
+    images = rng.integers(16, 236, size=(2, 32, 32, 1)).astype(numpy.uint8)
+    bin_widths = numpy.asarray(0.5 + rng.random(128), numpy.float32)
+    map_mean = rng.normal(size=(128,)).astype(numpy.float32)
+
+    compressor = PipelinedCompressor(
+        params, bin_widths, True, numpy.full((128, 10), 0.5), map_mean,
+        batch_size=2)
+    (symbols_dev, max_abs) = compressor.encode_symbols_fn(
+        params, jnp.asarray(images.astype(numpy.float32)),
+        compressor.bin_widths, compressor.map_mean)
+    symbols_dev = numpy.asarray(symbols_dev)
+    assert symbols_dev.dtype == numpy.int16
+    assert float(max_abs) < 32767.0
+
+    y = encode_mini_batches(images, params, True, batch_size=2)
+    centered_q = numpy.asarray(quantize_per_map(y - map_mean, bin_widths))
+    expected = numpy.stack([
+        cast_float_to_int16(centered_q[i] / bin_widths.reshape(1, 1, -1))
+        for i in range(centered_q.shape[0])])
+    numpy.testing.assert_array_equal(symbols_dev, expected)
