@@ -98,14 +98,21 @@ def main(args=None):
 
     # Family 1: one fixed-bw model per gamma, unit bin widths.
     params_per_gamma = {}
+    step_per_gamma = {}
     for gamma in GAMMAS_VARY:
         state = _load_state(args.results_root, 1.0, gamma, False, args.idx_training)
         if state is not None:
             params_per_gamma[gamma] = state.params
+            step_per_gamma[gamma] = int(state.step)
     if params_per_gamma:
+        # Cache key carries the full model identity: which gammas, at
+        # which training steps (stale-curve guard).
+        vary_id = "g" + "-".join(
+            f"{float_to_str(g)}s{step_per_gamma[g]}"
+            for g in sorted(params_per_gamma))
         (rates_v, psnrs_v) = rd_sweep.vary_gamma_fix_bin_widths(
             images, params_per_gamma, sorted(params_per_gamma), args.batch_size,
-            args.cache_dir)
+            args.cache_dir, experiment_id=vary_id)
         curves.append((numpy.mean(rates_v, axis=1), numpy.mean(psnrs_v, axis=1),
                        "EAE one model per gamma", "o-"))
 
@@ -132,10 +139,16 @@ def main(args=None):
                         stats_dir,
                         f"binary_probabilities_{float_to_str(m)}.npy"))
                     for m in MULTIPLIERS]
+        # Cache key = model identity (bw init, gamma, training step),
+        # multiplier ladder, and true-coded vs theoretical rate.
+        fix_id = (f"{float_to_str(bw_init)}_{float_to_str(10000.0)}"
+                  f"_s{int(state.step)}"
+                  f"_m{'-'.join(float_to_str(m) for m in MULTIPLIERS)}"
+                  f"_{'coded' if probabilities is not None else 'approx'}")
         (rates_f, psnrs_f) = rd_sweep.fix_gamma(
             images, state.params, numpy.asarray(state.bin_widths), learn_bw,
             MULTIPLIERS, args.batch_size, args.cache_dir, map_mean, probabilities,
-            idx_exception)
+            idx_exception, experiment_id=fix_id)
         curves.append((numpy.mean(rates_f, axis=1), numpy.mean(psnrs_f, axis=1),
                        label, style))
 

@@ -5,8 +5,10 @@ Counterpart of ``kodak_tensorflow/training_eae_imagenet.py``:
 [--learn_bin_widths]`` - multi-part resumable training (part k resumes
 from the checkpoint of part k-1 and refuses to overwrite part k), 80
 epochs per part, batch 10, density pre-fit epochs on the first part,
-the reference's 14-indicator epoch printout reduced to its tracked
-quantities.
+the reference's full per-epoch indicator block
+(``training_eae_imagenet.py:185-201``) plus dead-map counts, pdf areas
+and numeric-domain monitors (grid saturation, negative per-map
+entropies).
 """
 
 import argparse
@@ -23,11 +25,14 @@ from autoencoder_based_image_compression_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from autoencoder_based_image_compression_tpu.train.loop import (
-    evaluate,
+    evaluate_full,
     preliminary_fitting,
     run_epoch_training,
 )
-from autoencoder_based_image_compression_tpu.train.state import init_train_state
+from autoencoder_based_image_compression_tpu.train.state import (
+    current_lr,
+    init_train_state,
+)
 from autoencoder_based_image_compression_tpu.train.step import make_step_fns
 from autoencoder_based_image_compression_tpu.utils.naming import experiment_suffix
 from autoencoder_based_image_compression_tpu.utils.parsing import (
@@ -55,6 +60,9 @@ def build_parser():
     parser.add_argument("--nb_epochs_training", type=int_strictly_positive, default=80)
     parser.add_argument("--nb_epochs_fitting", type=int_strictly_positive, default=1)
     parser.add_argument("--batch_size", type=int_strictly_positive, default=10)
+    parser.add_argument("--nb_eval_examples", type=int_strictly_positive, default=100,
+                        help="evaluation-portion size for the epoch indicators "
+                             "(clipped to the dataset sizes)")
     parser.add_argument("--path_to_training_data",
                         default="data/imagenet/training_data.npy")
     parser.add_argument("--path_to_validation_data",
@@ -62,6 +70,36 @@ def build_parser():
     parser.add_argument("--results_root", default="results/eae")
     parser.add_argument("--seed", type=int_positive, default=0)
     return parser
+
+
+def _monitor_numeric_domain(indicators, nb_itvs):
+    """Surfaces the numeric-domain violations the reference asserts on.
+
+    The jitted losses clamp instead of asserting (XLA cannot raise), so
+    the host loop warns loudly when (a) a per-map approximate entropy
+    goes negative (reference assertion ``tfutils.py:89-93``) or (b) the
+    fixed-capacity density table saturates - expansion requests beyond
+    ``MAX_ITVS_PER_SIDE`` are silently truncated in-jit
+    (``ops/density.py::expand_table``).
+    """
+    import warnings
+
+    per_map = indicators["approx_entropy_per_map"]
+    if numpy.any(per_map < 0.0):
+        bad = numpy.flatnonzero(per_map < 0.0)
+        warnings.warn(
+            f"{bad.size} per-map approximate entropies are negative "
+            f"(maps {bad[:8].tolist()}{'...' if bad.size > 8 else ''}, "
+            f"min {per_map.min():.4g}); the clamped training loss zeroes "
+            "their gradients. The reference asserts on this "
+            "(tfutils.py:89-93).", RuntimeWarning, stacklevel=2)
+    if nb_itvs >= csts.MAX_ITVS_PER_SIDE:
+        warnings.warn(
+            f"The density grid saturated its static capacity "
+            f"(nb_itvs_per_side == MAX_ITVS_PER_SIDE == "
+            f"{csts.MAX_ITVS_PER_SIDE}); latents beyond the table are "
+            "clipped into the boundary cells. Retrain with a larger "
+            "max_itvs.", RuntimeWarning, stacklevel=2)
 
 
 def main(args=None):
@@ -92,24 +130,55 @@ def main(args=None):
         (key, sub) = jax.random.split(key)
         state = preliminary_fitting(training_uint8, state, step_fns, args.batch_size,
                                     args.nb_epochs_fitting, sub)
+    nb_eval = min(args.nb_eval_examples, training_uint8.shape[0],
+                  validation_uint8.shape[0])
     history = {"train_disc_entropy": [], "train_scaled_approx_entropy": [],
-               "train_rec_error": [], "val_rec_error": []}
+               "train_rec_error": [], "val_rec_error": [],
+               "train_entropy_gap": [], "val_entropy_gap": []}
     for epoch in range(args.nb_epochs_training):
         (key, k_train, k_eval_t, k_eval_v) = jax.random.split(key, 4)
-        indicators_train = evaluate(state, training_uint8[:args.batch_size],
-                                    step_fns, args.gamma, k_eval_t)
-        indicators_val = evaluate(state, validation_uint8[:args.batch_size],
-                                  step_fns, args.gamma, k_eval_v)
-        history["train_disc_entropy"].append(indicators_train[0])
-        history["train_scaled_approx_entropy"].append(indicators_train[1])
-        history["train_rec_error"].append(indicators_train[2])
-        history["val_rec_error"].append(indicators_val[2])
-        print(f"epoch {epoch}: "
-              f"train (disc-H, scaled-aH, rec, fct-loss)={indicators_train} "
-              f"val={indicators_val} "
-              f"step={int(state.step)} "
-              f"nb_itvs={int(state.density.nb_itvs_per_side)} "
-              f"bw[mean]={float(numpy.mean(numpy.asarray(state.bin_widths))):.4f}")
+        ind_t = evaluate_full(state, training_uint8[:nb_eval], step_fns,
+                              args.gamma, k_eval_t)
+        ind_v = evaluate_full(state, validation_uint8[:nb_eval], step_fns,
+                              args.gamma, k_eval_v)
+        history["train_disc_entropy"].append(ind_t["mean_disc_entropy"])
+        history["train_scaled_approx_entropy"].append(ind_t["scaled_approx_entropy"])
+        history["train_rec_error"].append(ind_t["rec_error"])
+        history["val_rec_error"].append(ind_v["rec_error"])
+        history["train_entropy_gap"].append(ind_t["entropy_gap"])
+        history["val_entropy_gap"].append(ind_v["entropy_gap"])
+        nb_itvs = int(state.density.nb_itvs_per_side)
+        # The reference's per-epoch indicator block
+        # (training_eae_imagenet.py:185-201), over a nb_eval-sized
+        # portion of each set.
+        print(f"\nEpoch: {epoch + 1}")
+        print(f"Training mean approximate entropy: {ind_t['mean_approx_entropy']}")
+        print(f"Validation mean approximate entropy: {ind_v['mean_approx_entropy']}")
+        print(f"Training mean entropy: {ind_t['mean_disc_entropy']}")
+        print(f"Validation mean entropy: {ind_v['mean_disc_entropy']}")
+        print("Training scaled cumulated approximate entropy: "
+              f"{ind_t['scaled_approx_entropy']}")
+        print("Validation scaled cumulated approximate entropy: "
+              f"{ind_v['scaled_approx_entropy']}")
+        print(f"Training reconstruction error: {ind_t['rec_error']}")
+        print(f"Validation reconstruction error: {ind_v['rec_error']}")
+        print(f"Training loss of density approximation: {ind_t['loss_density']}")
+        print(f"Validation loss of density approximation: {ind_v['loss_density']}")
+        print("Training entropy minus approximate entropy: "
+              f"{ind_t['entropy_gap']}")
+        print("Validation entropy minus approximate entropy: "
+              f"{ind_v['entropy_gap']}")
+        print(f"L2-norm weight decay: {ind_t['weight_decay']}")
+        print(f"Number of unit intervals in the right half of the grid: {nb_itvs}")
+        print(f"Learning rate: {round(current_lr(args.gamma, int(state.step)), 9)}")
+        print(f"Global step: {int(state.step)}")
+        print(f"Dead feature maps (of {csts.NB_MAPS_3}): {ind_t['nb_dead_maps']}")
+        areas = ind_t["areas_under_pdfs"]
+        print(f"Area under the pdfs: mean={areas.mean():.4f} "
+              f"min={areas.min():.4f} max={areas.max():.4f}")
+        print("Mean quantization bin width: "
+              f"{float(numpy.mean(numpy.asarray(state.bin_widths))):.4f}")
+        _monitor_numeric_domain(ind_t, nb_itvs)
         state = run_epoch_training(training_uint8, state, step_fns, args.batch_size,
                                    nb_batches, k_train)
         save_checkpoint(path_next, state, allow_overwrite=True)
@@ -125,6 +194,10 @@ def main(args=None):
         plot_training_curves(
             {"mean discrete entropy": history["train_disc_entropy"]},
             os.path.join(exp_dir, f"entropy_part_{args.idx_training}.png"))
+        plot_training_curves(
+            {"train gap": history["train_entropy_gap"],
+             "val gap": history["val_entropy_gap"]},
+            os.path.join(exp_dir, f"entropy_gap_part_{args.idx_training}.png"))
     elapsed = time.time() - t_start
     print(f"training part {args.idx_training} done in "
           f"{int(elapsed // 3600)}h {int((elapsed % 3600) // 60)}m")

@@ -80,13 +80,19 @@ def compute_rate_psnr(luminances_uint8, params, bin_widths_test, learn_bin_width
 
 def fix_gamma(luminances_uint8, params, bin_widths, learn_bin_widths, multipliers,
               batch_size, cache_dir, map_mean=None, binary_probabilities_per_mult=None,
-              idx_map_exception=-1):
+              idx_map_exception=-1, experiment_id=""):
     """Single-model bin-width-multiplier sweep (reference ``:31-243``).
 
     Returns ``(rates, psnrs)`` of shape (nb_multipliers, nb_images),
-    cached under ``cache_dir``.
+    cached under ``cache_dir``. ``experiment_id`` must encode the model
+    identity (bin-width init, gamma, training step, multiplier set,
+    coded-vs-theoretical rate) so re-running with a different model
+    cannot return a stale curve - the filename-is-identity convention of
+    the reference's ``float_to_str`` paths (``tools/tools.py:570``).
     """
     suffix = "learn" if learn_bin_widths else "fixed"
+    if experiment_id:
+        suffix = f"{suffix}_{experiment_id}"
     path_rates = os.path.join(cache_dir, f"rates_fix_gamma_{suffix}.npy")
     path_psnrs = os.path.join(cache_dir, f"psnrs_fix_gamma_{suffix}.npy")
     if os.path.isfile(path_rates) and os.path.isfile(path_psnrs):
@@ -108,14 +114,17 @@ def fix_gamma(luminances_uint8, params, bin_widths, learn_bin_widths, multiplier
 
 
 def vary_gamma_fix_bin_widths(luminances_uint8, params_per_gamma, gammas, batch_size,
-                              cache_dir):
+                              cache_dir, experiment_id=""):
     """One fixed-bin-width model per gamma (reference ``:401-556``).
 
     ``params_per_gamma`` maps gamma -> trained parameter pytree.
     Returns ``(rates, psnrs)`` of shape (nb_gammas, nb_images).
+    ``experiment_id`` must encode the gamma ladder and the models'
+    training steps (see :func:`fix_gamma`).
     """
-    path_rates = os.path.join(cache_dir, "rates_vary_gamma.npy")
-    path_psnrs = os.path.join(cache_dir, "psnrs_vary_gamma.npy")
+    tag = f"_{experiment_id}" if experiment_id else ""
+    path_rates = os.path.join(cache_dir, f"rates_vary_gamma{tag}.npy")
+    path_psnrs = os.path.join(cache_dir, f"psnrs_vary_gamma{tag}.npy")
     if os.path.isfile(path_rates) and os.path.isfile(path_psnrs):
         return (numpy.load(path_rates), numpy.load(path_psnrs))
     nb_images = luminances_uint8.shape[0]

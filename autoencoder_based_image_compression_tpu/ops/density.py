@@ -131,16 +131,28 @@ def differential_entropy(approximate_prob):
     return jnp.mean(-jnp.log(approximate_prob) / jnp.log(2.0), axis=1)
 
 
+def approximate_entropy_per_map(approximate_prob, bin_widths):
+    """Per-map approximate entropy, UNCLAMPED.
+
+    Per map: differential entropy of the noisy latents minus
+    ``log2(bin_width)`` (reference ``tfutils.py:45-93``). The reference
+    asserts non-negativity; here negative values are returned as-is so
+    the training monitor can surface the violation
+    (``cli/train_eae.py``).
+    """
+    diff_entropies = differential_entropy(approximate_prob)
+    return diff_entropies - jnp.log(jnp.asarray(bin_widths)) / jnp.log(2.0)
+
+
 def approximate_entropy(approximate_prob, bin_widths):
     """Cumulated approximate entropy of the quantized latents.
 
-    Per map: differential entropy of the noisy latents minus
-    ``log2(bin_width)``; summed over maps (reference
+    Sum over maps of the clamped per-map entropies (reference
     ``tfutils.py:45-93``). The reference asserts non-negativity per map;
-    in-jit we clamp instead (the training monitor surfaces violations).
+    in-jit we clamp instead, and the training loop monitors the
+    unclamped :func:`approximate_entropy_per_map` for violations.
     """
-    diff_entropies = differential_entropy(approximate_prob)
-    approx = diff_entropies - jnp.log(jnp.asarray(bin_widths)) / jnp.log(2.0)
+    approx = approximate_entropy_per_map(approximate_prob, bin_widths)
     return jnp.sum(jnp.maximum(approx, 0.0))
 
 

@@ -22,6 +22,15 @@ import numpy
 class ContinuousBatcher:
     """Streams images through a jitted batch function.
 
+    Completed images are delivered through ``on_complete(image_id,
+    output)`` as batches drain (called from whichever thread triggers
+    the drain - ``submit`` under in-flight back-pressure, or ``flush``);
+    without a callback they accumulate and ``flush`` returns them all.
+
+    Device dispatch happens OUTSIDE the queue lock: ``submit`` only
+    holds the lock to append / claim a full batch, so concurrent
+    producers never serialize behind a device call.
+
     Parameters
     ----------
     batch_fn : callable
@@ -31,63 +40,79 @@ class ContinuousBatcher:
     max_in_flight : int
         Number of dispatched-but-unfetched batches allowed (bounds
         device memory while keeping the pipeline full).
+    on_complete : callable, optional
+        ``on_complete(image_id, output_row)`` invoked once per image as
+        its batch is fetched. When set, ``flush`` returns ``{}``.
     """
 
-    def __init__(self, batch_fn, batch_size, max_in_flight=2):
+    def __init__(self, batch_fn, batch_size, max_in_flight=2,
+                 on_complete=None):
         self.batch_fn = batch_fn
         self.batch_size = batch_size
         self.max_in_flight = max_in_flight
+        self.on_complete = on_complete
         self._pending = []          # images waiting to fill a batch
         self._pending_ids = []
         self._in_flight = collections.deque()  # (ids, device_output)
         self._results = {}
-        self._lock = threading.Lock()
+        self._queue_lock = threading.Lock()     # guards _pending*
+        self._device_lock = threading.Lock()    # guards _in_flight + dispatch order
 
     def submit(self, image_id, image_f32):
         """Enqueues one image; dispatches when a batch fills."""
-        with self._lock:
+        with self._queue_lock:
             self._pending.append(image_f32)
             self._pending_ids.append(image_id)
-            if len(self._pending) == self.batch_size:
-                self._dispatch_locked(padded=0)
+            if len(self._pending) < self.batch_size:
+                return
+            batch = numpy.stack(self._pending, axis=0)
+            ids = list(self._pending_ids)
+            self._pending = []
+            self._pending_ids = []
+        self._dispatch(batch, ids)
 
-    def _dispatch_locked(self, padded):
-        batch = numpy.stack(self._pending, axis=0)
-        ids = list(self._pending_ids)
-        self._pending = []
-        self._pending_ids = []
-        while len(self._in_flight) >= self.max_in_flight:
-            self._drain_one_locked()
-        out = self.batch_fn(jnp.asarray(batch))
-        self._in_flight.append((ids, out, padded))
+    def _dispatch(self, batch, ids):
+        """Dispatches one assembled batch, draining under back-pressure.
+
+        Serialized by ``_device_lock`` so completion order follows
+        dispatch order; the queue lock is NOT held here.
+        """
+        with self._device_lock:
+            while len(self._in_flight) >= self.max_in_flight:
+                self._drain_one_locked()
+            out = self.batch_fn(jnp.asarray(batch))
+            self._in_flight.append((ids, out))
 
     def _drain_one_locked(self):
-        (ids, out, padded) = self._in_flight.popleft()
-        host = numpy.asarray(out)
-        nb_real = len(ids)
+        (ids, out) = self._in_flight.popleft()
+        host = numpy.asarray(out)   # blocks until the batch is done
         for (i, image_id) in enumerate(ids):
-            self._results[image_id] = host[i]
-        del padded, nb_real
+            # Rows past len(ids) are flush padding - dropped here.
+            if self.on_complete is not None:
+                self.on_complete(image_id, host[i])
+            else:
+                self._results[image_id] = host[i]
 
     def flush(self):
         """Dispatches the partial batch (padded) and drains everything.
 
-        Returns {image_id: output} for all submitted images.
+        Returns {image_id: output} for images not already delivered via
+        ``on_complete``.
         """
-        with self._lock:
+        with self._queue_lock:
+            batch = None
             if self._pending:
                 nb_real = len(self._pending)
                 pad = self.batch_size - nb_real
                 template = numpy.zeros_like(self._pending[0])
                 self._pending.extend([template] * pad)
-                # Padded rows get ids that are dropped on drain.
-                self._pending_ids = self._pending_ids[:nb_real]
                 batch = numpy.stack(self._pending, axis=0)
-                ids = list(self._pending_ids)
+                ids = list(self._pending_ids[:nb_real])
                 self._pending = []
                 self._pending_ids = []
-                out = self.batch_fn(jnp.asarray(batch))
-                self._in_flight.append((ids, out, pad))
+        if batch is not None:
+            self._dispatch(batch, ids)
+        with self._device_lock:
             while self._in_flight:
                 self._drain_one_locked()
             results = dict(self._results)

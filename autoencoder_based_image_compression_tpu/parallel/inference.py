@@ -132,7 +132,14 @@ class PipelinedCompressor:
 
     def _compress_one(self, symbols_int16):
         """Codes one image's (h, w, maps) int16 symbols; asserts the
-        bit-exact round trip (reference ``compression.py:151-153``)."""
+        bit-exact round trip (reference ``compression.py:151-153``).
+
+        Note: the assert runs in the int16 symbol domain, which is
+        weaker than the reference's centered-quantized *float* domain
+        assert - it cannot see an int16 wraparound on its own. The
+        per-batch ``max_abs`` guard in ``__call__`` is the compensating
+        check (reference ``cast_float_to_int16``, ``tools.py:95-155``).
+        """
         (rec, bits) = self._compress_maps(
             symbols_int16, self.binary_probabilities, self.idx_map_exception)
         numpy.testing.assert_equal(
@@ -154,7 +161,6 @@ class PipelinedCompressor:
         nb = images_uint8.shape[0]
         bits = [0] * nb
         reconstructions = []
-        max_abs = []
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
             coding_futures = []
             for start in range(0, nb, self.batch_size):
@@ -162,19 +168,25 @@ class PipelinedCompressor:
                     images_uint8[start:start + self.batch_size].astype(numpy.float32)))
                 (symbols, batch_max) = self.encode_symbols_fn(
                     self.params, batch, self.bin_widths, self.map_mean)
-                max_abs.append(batch_max)
                 # Decode dispatches on the device-resident symbols before
                 # the host fetch, so the device keeps computing while the
                 # int16 symbols stream to the coder thread pool.
                 reconstructions.append(self.decode_symbols_fn(
                     self.params, symbols, self.bin_widths, self.map_mean))
                 symbols_host = numpy.asarray(symbols)
+                # Guard before coding this batch: astype(int16) wraps
+                # rather than saturating, and wrapped symbols would
+                # round-trip "bit-exactly" through the coder. Same
+                # bound as the reference's cast_float_to_int16
+                # (tools.py:95-155: abs > 32767 raises). The fetch is
+                # free - symbols_host above already synchronized.
+                if float(batch_max) > 32767.0:
+                    raise OverflowError(
+                        "A symbol magnitude exceeds the int16 range.")
                 for (j, one) in enumerate(symbols_host):
                     coding_futures.append(
                         (start + j, pool.submit(self._compress_one, one)))
             for (idx, fut) in coding_futures:
                 bits[idx] = fut.result()
-        if float(jnp.max(jnp.stack(max_abs))) >= 32767.0:
-            raise OverflowError("A symbol magnitude exceeds the int16 range.")
         recs = numpy.concatenate([numpy.asarray(r) for r in reconstructions], axis=0)
         return (recs, numpy.asarray(bits))

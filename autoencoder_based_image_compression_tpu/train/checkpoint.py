@@ -9,6 +9,12 @@ density table has a static shape, so the live extent is just another
 array leaf and the whole :class:`TrainState` round-trips through a
 single ``.npz`` file.
 
+Leaves are keyed by their *tree path* (the way TF checkpoints key by
+variable name), not by flattening order: many leaves share a shape (all
+GDN gammas are (128, 128)), so order-indexed storage would let a dict
+reordering or key rename silently swap tensors. A renamed or missing
+key fails loudly at load.
+
 Refusal to overwrite an existing checkpoint (the reference's guard at
 ``training_eae_imagenet.py:89-96``) is preserved via ``allow_overwrite``.
 """
@@ -21,18 +27,23 @@ import jax.numpy as jnp
 import numpy
 
 
+def _path_keys(tree):
+    """[(key_string, leaf)] with keys from the pytree paths."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(jax.tree_util.keystr(path), leaf) for (path, leaf) in flat]
+
+
 def save_checkpoint(path, state, allow_overwrite=False):
     """Serializes a state pytree to ``<path>.npz`` (+ ``<path>.json`` meta)."""
     npz_path = path + ".npz"
     if os.path.isfile(npz_path) and not allow_overwrite:
         raise FileExistsError(
             f"{npz_path} already exists; refusing to overwrite a checkpoint.")
-    leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i}": numpy.asarray(leaf) for (i, leaf) in enumerate(leaves)}
+    arrays = {key: numpy.asarray(leaf) for (key, leaf) in _path_keys(state)}
     os.makedirs(os.path.dirname(npz_path) or ".", exist_ok=True)
     numpy.savez(npz_path, **arrays)
     meta = {
-        "nb_leaves": len(leaves),
+        "nb_leaves": len(arrays),
         "step": int(numpy.asarray(state.step)),
         "nb_itvs_per_side": int(numpy.asarray(state.density.nb_itvs_per_side)),
     }
@@ -45,19 +56,25 @@ def load_checkpoint(path, template):
 
     ``template`` is a state with the same structure (e.g. from
     :func:`init_train_state` with the same experiment configuration);
-    its leaves provide the pytree structure and expected shapes.
+    its tree paths select the stored arrays, so a renamed, missing or
+    reshaped leaf raises instead of silently mapping to another tensor.
     """
-    (leaves, treedef) = jax.tree_util.tree_flatten(template)
     data = numpy.load(path + ".npz")
-    if len(data.files) != len(leaves):
+    stored = set(data.files)
+    (flat, treedef) = jax.tree_util.tree_flatten_with_path(template)
+    wanted = [jax.tree_util.keystr(p) for (p, _) in flat]
+    missing = [k for k in wanted if k not in stored]
+    extra = sorted(stored - set(wanted))
+    if missing or extra:
         raise ValueError(
-            f"Checkpoint has {len(data.files)} leaves, template has {len(leaves)}.")
+            "Checkpoint/template key mismatch. Missing from checkpoint: "
+            f"{missing}; unexpected in checkpoint: {extra}.")
     new_leaves = []
-    for (i, leaf) in enumerate(leaves):
-        arr = data[f"leaf_{i}"]
+    for (key, leaf) in zip(wanted, (leaf for (_, leaf) in flat)):
+        arr = data[key]
         if tuple(arr.shape) != tuple(numpy.shape(leaf)):
             raise ValueError(
-                f"Leaf {i}: checkpoint shape {arr.shape} != template shape "
+                f"Leaf {key}: checkpoint shape {arr.shape} != template shape "
                 f"{numpy.shape(leaf)}.")
         new_leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -97,11 +97,57 @@ def evaluate(state, batch_uint8, step_fns, gamma_scaling, key):
     Returns ``(mean_discrete_entropy, scaled_approx_entropy, rec_error,
     loss_density_approx)`` (reference ``EntropyAutoencoder.py:542-589``).
     """
-    from autoencoder_based_image_compression_tpu.ops.metrics import average_entropies
+    full = evaluate_full(state, batch_uint8, step_fns, gamma_scaling, key)
+    return (full["mean_disc_entropy"], full["scaled_approx_entropy"],
+            full["rec_error"], full["loss_density"])
+
+
+def evaluate_full(state, batch_uint8, step_fns, gamma_scaling, key):
+    """The reference's complete per-epoch indicator set on one batch.
+
+    Reference ``training_eae_imagenet.py:121-201`` prints, per epoch and
+    per train/val portion: mean approximate entropy, mean discrete
+    entropy, their gap (the approximation-quality monitor), scaled
+    cumulated approximate entropy, reconstruction error, density-fit
+    loss; plus the shared weight decay, grid size, LR and global step
+    (attached by the CLI). This returns one portion's dict, augmented
+    with the diagnostics the monitors need: the UNCLAMPED per-map
+    approximate entropies (negativity check - the reference asserts,
+    ``tfutils.py:89-93``), the areas under the live pdfs
+    (``checking_area_under...``), and the dead-map count on the
+    quantized latents.
+    """
+    from autoencoder_based_image_compression_tpu import constants as csts
+    from autoencoder_based_image_compression_tpu.ops.metrics import (
+        average_entropies,
+        convert_approx_entropy,
+    )
+    from autoencoder_based_image_compression_tpu.ops.quantization import (
+        quantize_per_map)
 
     batch = jnp.asarray(batch_uint8.astype(numpy.float32))
-    (scaled_approx_entropy, rec_error, loss_density, y) = step_fns["evaluation"](
-        state, batch, key)
-    mean_disc_entropy = average_entropies(numpy.asarray(y), numpy.asarray(state.bin_widths))
-    return (mean_disc_entropy, float(scaled_approx_entropy), float(rec_error),
-            float(loss_density))
+    (scaled_approx_entropy, rec_error, loss_density, y, approx_per_map, areas,
+     weight_decay) = step_fns["evaluation"](state, batch, key)
+    bin_widths = numpy.asarray(state.bin_widths)
+    y_host = numpy.asarray(y)
+    mean_disc_entropy = average_entropies(y_host, bin_widths)
+    scaled_approx_entropy = float(scaled_approx_entropy)
+    mean_approx_entropy = convert_approx_entropy(scaled_approx_entropy,
+                                                 gamma_scaling, csts.NB_MAPS_3)
+    quantized = numpy.asarray(quantize_per_map(y_host, bin_widths))
+    return {
+        "mean_approx_entropy": mean_approx_entropy,
+        "mean_disc_entropy": mean_disc_entropy,
+        "entropy_gap": mean_disc_entropy - mean_approx_entropy,
+        "scaled_approx_entropy": scaled_approx_entropy,
+        "rec_error": float(rec_error),
+        "loss_density": float(loss_density),
+        "weight_decay": float(weight_decay),
+        "approx_entropy_per_map": numpy.asarray(approx_per_map),
+        "areas_under_pdfs": numpy.asarray(areas),
+        # A map is dead when it quantizes to zero across the whole
+        # evaluation portion (reference count_nb_deads is per-example;
+        # the training monitor wants the across-portion count).
+        "nb_dead_maps": int(numpy.count_nonzero(
+            numpy.sum(numpy.abs(quantized), axis=(0, 1, 2)) == 0.0)),
+    }

@@ -44,6 +44,21 @@ def make_adam(gamma_scaling):
     return optax.adam(learning_rate=schedule)
 
 
+def current_lr(gamma_scaling, step):
+    """Adam learning rate at a global step (for the epoch printout).
+
+    Mirrors the schedule in :func:`make_adam`; the reference prints it
+    each epoch (``training_eae_imagenet.py:199-200``).
+    """
+    (b0, b1) = csts.lr_boundaries(gamma_scaling)
+    lr = csts.LR_EAE
+    if step >= b0:
+        lr *= 0.1
+    if step >= b1:
+        lr *= 0.1
+    return lr
+
+
 def init_train_state(key, gamma_scaling, bin_width_init=1.0, learn_bin_widths=False,
                      nb_maps=csts.NB_MAPS_3, ppi=csts.NB_POINTS_PER_INTERVAL,
                      max_itvs=csts.MAX_ITVS_PER_SIDE,

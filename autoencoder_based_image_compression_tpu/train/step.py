@@ -145,7 +145,9 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
       reference ``eae/batching.py:154-163``)
     - ``evaluation(state, batch, key)``: the training indicators
       (reference ``EntropyAutoencoder.py:542-589``) - returns
-      ``(scaled_approx_entropy, rec_error, loss_density_approx, y)``
+      ``(scaled_approx_entropy, rec_error, loss_density_approx, y,
+      approx_entropy_per_map [UNCLAMPED], areas_under_pdfs,
+      weight_decay)``
     """
     # Donation halves peak memory on the state buffers but is off by
     # default: some experimental PJRT platforms stall when compiling
@@ -179,11 +181,19 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
         mask = dens.active_mask(table.nb_itvs_per_side, ppi, max_itvs)
         samples = _flatten_maps(y_tilde)
         prob = dens.approximate_probability(samples, table.parameters, ppi, max_itvs)
-        scaled_approx_entropy = gamma_scaling * dens.approximate_entropy(prob, state.bin_widths)
+        # Per-map approximate entropies stay UNCLAMPED here so the host
+        # monitor can flag negative values (the reference asserts,
+        # tfutils.py:89-93).
+        approx_per_map = dens.approximate_entropy_per_map(prob, state.bin_widths)
+        scaled_approx_entropy = gamma_scaling * jnp.sum(jnp.maximum(approx_per_map, 0.0))
         loss_density = dens.loss_density_approximation(prob, table.parameters, mask, ppi)
         reconstruction = conv_eae.decode(state.params, y_tilde, learn_bin_widths)
         rec_error = jnp.mean(jnp.sum(jnp.square(batch - reconstruction), axis=(1, 2, 3)))
-        return (scaled_approx_entropy, rec_error, loss_density, y)
+        areas = dens.area_under_piecewise_linear_functions(
+            table.parameters, table.nb_itvs_per_side, ppi, max_itvs)
+        weight_decay = csts.WEIGHT_DECAY_P * conv_eae.weight_l2_norm(state.params)
+        return (scaled_approx_entropy, rec_error, loss_density, y,
+                approx_per_map, areas, weight_decay)
 
     return {
         "training_fct": training_fct,

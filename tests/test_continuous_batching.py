@@ -30,6 +30,51 @@ def test_batcher_packs_and_pads():
         numpy.testing.assert_allclose(results[i], 2.0 * i)
 
 
+def test_batcher_completion_callback():
+    """With on_complete set, every image is delivered exactly once via
+    the callback and flush returns nothing."""
+    delivered = {}
+
+    def batch_fn(batch):
+        return batch + 1.0
+
+    batcher = ContinuousBatcher(
+        batch_fn, batch_size=4, max_in_flight=1,
+        on_complete=lambda image_id, out: delivered.setdefault(image_id, out))
+    for i in range(9):  # 2 full batches + 1 partial of 1
+        batcher.submit(i, numpy.full((2, 2), float(i), numpy.float32))
+    results = batcher.flush()
+    assert results == {}
+    assert sorted(delivered) == list(range(9))
+    for i in range(9):
+        numpy.testing.assert_allclose(delivered[i], i + 1.0)
+
+
+def test_batcher_concurrent_producers():
+    """Multiple submit threads: every image delivered exactly once."""
+    import threading
+
+    def batch_fn(batch):
+        return batch * 3.0
+
+    batcher = ContinuousBatcher(batch_fn, batch_size=4, max_in_flight=2)
+
+    def producer(base):
+        for i in range(base, base + 25):
+            batcher.submit(i, numpy.full((2,), float(i), numpy.float32))
+
+    threads = [threading.Thread(target=producer, args=(k * 25,))
+               for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    results = batcher.flush()
+    assert sorted(results) == list(range(100))
+    for i in range(100):
+        numpy.testing.assert_allclose(results[i], 3.0 * i)
+
+
 def test_batcher_bounds_in_flight():
     def batch_fn(batch):
         return batch + 1.0

@@ -82,9 +82,10 @@ def test_gdn_lowp_tracks_fp32_gdn():
 
     for inverse in (False, True):
         exact = numpy.asarray((inverse_gdn if inverse else gdn)(x, gamma, beta))
-        low = numpy.asarray(
-            gdn_lowp(jnp.asarray(x, jnp.bfloat16), jnp.asarray(gamma),
-                     jnp.asarray(beta), inverse=inverse).astype(jnp.float32))
+        raw = gdn_lowp(jnp.asarray(x, jnp.bfloat16), jnp.asarray(gamma),
+                       jnp.asarray(beta), inverse=inverse)
+        # The fast path must stay bf16 end-to-end (no silent upcast).
+        assert raw.dtype == jnp.bfloat16
+        low = numpy.asarray(raw.astype(jnp.float32))
         scale = numpy.abs(exact).max()
         assert numpy.abs(exact - low).max() < 2.0e-2 * scale
-        assert low.dtype == numpy.float32  # cast back for the comparison

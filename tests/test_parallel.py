@@ -47,7 +47,7 @@ def test_sharded_evaluation_matches_single_device():
     key = jax.random.PRNGKey(1)
 
     single_fns = make_step_fns(GAMMA, True, max_itvs=16, donate=False)
-    (s_ae, s_rec, _, s_y) = single_fns["evaluation"](state, batch, key)
+    (s_ae, s_rec, _, s_y, _, _, _) = single_fns["evaluation"](state, batch, key)
 
     mesh = make_mesh(model_parallelism=2)
     sharded_state = shard_state(state, mesh)

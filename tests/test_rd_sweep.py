@@ -50,6 +50,23 @@ def test_fix_gamma_caches(tmp_path):
     numpy.testing.assert_array_equal(psnrs_1, psnrs_2)
 
 
+def test_fix_gamma_cache_keyed_on_experiment_identity(tmp_path):
+    """A different experiment_id must MISS the cache: re-running with
+    another model/step cannot return the previous model's curves."""
+    (params, images) = _setup(3)
+    bin_widths = numpy.ones(128, numpy.float32)
+    multipliers = [1.0, 4.0]
+    (rates_1, _) = rd_sweep.fix_gamma(images, params, bin_widths, True,
+                                      multipliers, 4, str(tmp_path),
+                                      experiment_id="0dot5_10000_s100")
+    params_mutated = dict(params)
+    params_mutated["weights_1"] = 0.0 * params_mutated["weights_1"]
+    (rates_2, _) = rd_sweep.fix_gamma(images, params_mutated, bin_widths, True,
+                                      multipliers, 4, str(tmp_path),
+                                      experiment_id="0dot5_10000_s200")
+    assert not numpy.array_equal(rates_1, rates_2)
+
+
 def test_bjontegaard_summary_identical_curves(tmp_path):
     rates = numpy.tile(numpy.array([[0.1], [0.3], [0.6], [1.0]]), (1, 3))
     psnrs = numpy.tile(numpy.array([[28.0], [31.0], [34.0], [37.0]]), (1, 3))

@@ -36,7 +36,7 @@ def test_training_fct_decreases_density_loss():
     (state, step_fns, batch, key) = _tiny_setup(learn_bin_widths=True)
 
     def density_loss(state, key):
-        (_, _, loss_density, _) = step_fns["evaluation"](state, batch, key)
+        (_, _, loss_density, *_rest) = step_fns["evaluation"](state, batch, key)
         return float(loss_density)
 
     (key_eval, key_steps) = jax.random.split(key)
@@ -52,7 +52,7 @@ def test_train_step_decreases_rd_loss():
     (state, step_fns, batch, key) = _tiny_setup(learn_bin_widths=False)
 
     def rd_loss(state, key):
-        (scaled_ae, rec_error, _, _) = step_fns["evaluation"](state, batch, key)
+        (scaled_ae, rec_error, *_rest) = step_fns["evaluation"](state, batch, key)
         return float(scaled_ae) + float(rec_error)
 
     (key_eval, key_steps) = jax.random.split(key)
@@ -122,3 +122,23 @@ def test_checkpoint_roundtrip_and_overwrite_guard():
             pass
         else:
             raise AssertionError("expected refusal to overwrite an existing checkpoint")
+
+
+def test_checkpoint_rename_fails_loudly():
+    """Leaves are keyed by tree path: a same-shape key rename must raise,
+    not silently map onto another tensor (all GDN gammas share a shape)."""
+    (state, step_fns, batch, key) = _tiny_setup(learn_bin_widths=True)
+    template = init_train_state(jax.random.PRNGKey(99), GAMMA, bin_width_init=1.0,
+                                learn_bin_widths=True, max_itvs=32)
+    renamed_params = dict(template.params)
+    renamed_params["gamma_1_renamed"] = renamed_params.pop("gamma_1")
+    renamed = template._replace(params=renamed_params)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "model_1")
+        save_checkpoint(path, state)
+        try:
+            load_checkpoint(path, renamed)
+        except ValueError as error:
+            assert "gamma_1" in str(error)
+        else:
+            raise AssertionError("expected a loud failure on a key rename")
