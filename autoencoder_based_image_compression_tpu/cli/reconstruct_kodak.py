@@ -36,10 +36,10 @@ enable_persistent_cache()
 
 GAMMAS_VARY = [10000.0, 12000.0, 16000.0, 24000.0, 40000.0, 72000.0, 96000.0]
 MULTIPLIERS = [1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
-# Pillow/OpenJPEG backend sweeps target compression ratios (the
-# reference's ImageMagick -quality {24..40} sweep covers the same
-# 0.1-1.2 bpp operating range).
-JPEG2000_RATIOS = (80, 64, 48, 32, 24, 16, 12, 8)
+# JPEG2000 ladder: the anchor defaults to ImageMagick at the
+# reference's -quality {24..40} sweep when magick is installed, and to
+# Pillow/OpenJPEG compression ratios covering the same 0.1-1.2 bpp
+# operating range otherwise (codecs/jpeg2000.evaluate_jpeg2000).
 HEVC_QPS = [22, 27, 32, 37, 42, 47]
 
 
@@ -157,7 +157,7 @@ def main(args=None):
         from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
             evaluate_jpeg2000)
 
-        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images, JPEG2000_RATIOS)
+        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images)
         curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
                        "JPEG2000", "x--"))
     except Exception as error:  # anchor optional

@@ -17,21 +17,68 @@ import numpy
 from autoencoder_based_image_compression_tpu.codecs.common import CodecUnavailableError
 from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
 
-# All-intra main-RExt configuration equivalent to the reference's
-# hevc/configuration/intra.cfg essentials.
+# The full all-intra main-RExt operating point of the reference's
+# hevc/configuration/intra.cfg (itself HM's encoder_intra_main_rext
+# example): every behavior-affecting setting is reproduced - RDOQ, SAO,
+# deblocking, AMP, CU/TU geometry, search, transform skip - because the
+# anchor numbers (and hence the Bjontegaard deltas) depend on them.
+# Bit depth / chroma format / frame count / QP are passed on the
+# command line like the reference does (hevc/hevc.py:89-107).
 INTRA_CFG = """\
+FrameRate: 25
 Profile: main-RExt
-InputBitDepth: 8
-InputChromaFormat: 400
-FrameRate: 30
-FramesToBeEncoded: 1
-GOPSize: 1
+Tier: main
+Level: 5.2
+MaxCUWidth: 64
+MaxCUHeight: 64
+MaxPartitionDepth: 4
+QuadtreeTULog2MaxSize: 5
+QuadtreeTULog2MinSize: 2
+QuadtreeTUMaxDepthInter: 3
+QuadtreeTUMaxDepthIntra: 3
 IntraPeriod: 1
 DecodingRefreshType: 1
-QuadtreeTULog2MaxSize: 5
+GOPSize: 1
+ReWriteParamSetsFlag: 1
+FastSearch: 1
+SearchRange: 64
+HadamardME: 1
+FEN: 1
+FDM: 1
+MaxDeltaQP: 0
+MaxCuDQPDepth: 0
+DeltaQpRD: 0
+RDOQ: 1
+RDOQTS: 1
+LoopFilterOffsetInPPS: 1
+LoopFilterDisable: 0
+LoopFilterBetaOffset_div2: 0
+LoopFilterTcOffset_div2: 0
+DeblockingFilterMetric: 0
+SAO: 1
+AMP: 1
 TransformSkip: 1
 TransformSkipFast: 1
-SEIDecodedPictureHash: 1
+SAOLcuBoundary: 0
+SliceMode: 0
+SliceArgument: 1500
+LFCrossSliceBoundaryFlag: 1
+PCMEnabledFlag: 0
+PCMLog2MaxSize: 5
+PCMLog2MinSize: 3
+PCMInputBitDepthFlag: 1
+PCMFilterDisableFlag: 0
+TileUniformSpacing: 0
+NumTileColumnsMinus1: 0
+TileColumnWidthArray: 2 3
+NumTileRowsMinus1: 0
+TileRowHeightArray: 2
+LFCrossTileBoundaryFlag: 1
+WaveFrontSynchro: 0
+ScalingList: 0
+TransquantBypassEnable: 0
+CUTransquantBypassFlagForce: 0
+SEIDecodedPictureHash: 3
 """
 
 
@@ -63,7 +110,9 @@ def compress_hevc(luminance_uint8, qp, path_to_encoder, work_dir):
     subprocess.check_call(
         [path_to_encoder, "-c", path_cfg,
          "-i", path_in, "-b", path_bin, "-o", path_rec,
-         "-wdt", str(width), "-hgt", str(height), "-q", str(qp)],
+         "-wdt", str(width), "-hgt", str(height),
+         "--InputBitDepth=8", "--InputChromaFormat=400",
+         "--FramesToBeEncoded=1", f"--QP={qp}"],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     rate = 8.0 * os.path.getsize(path_bin) / (height * width)
     reconstruction = read_400(path_rec, height, width)

@@ -20,13 +20,29 @@ import tempfile
 import numpy
 import PIL.Image
 
-from autoencoder_based_image_compression_tpu.codecs.common import find_imagemagick
+from autoencoder_based_image_compression_tpu.codecs.common import (
+    CodecUnavailableError,
+    find_imagemagick,
+)
 from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
 from autoencoder_based_image_compression_tpu.utils.image import read_image_mode, save_image
 
 # Compression ratios sweeping the reference's operating range
-# (~0.1 - 1.2 bpp on 8-bit luminance).
+# (~0.1 - 1.2 bpp on 8-bit luminance) - the Pillow-backend ladder.
 DEFAULT_RATIOS = (80, 64, 48, 32, 24, 16, 12, 8)
+
+# The reference's ImageMagick -quality ladder
+# (reconstructing_eae_kodak.py:653).
+REFERENCE_QUALITIES = (24, 26, 28, 30, 32, 34, 36, 38, 40)
+
+
+def imagemagick_available():
+    """True when the ImageMagick CLI is on PATH."""
+    try:
+        find_imagemagick()
+        return True
+    except CodecUnavailableError:
+        return False
 
 
 def compress_jpeg2000(luminance_uint8, ratio):
@@ -58,12 +74,21 @@ def compress_jpeg2000_imagemagick(luminance_uint8, quality, work_dir):
     return (rate, read_image_mode(path_back, "L"))
 
 
-def evaluate_jpeg2000(luminances_uint8, ratios=DEFAULT_RATIOS, backend="pillow"):
-    """Ratio sweep over an image stack.
+def evaluate_jpeg2000(luminances_uint8, ratios=None, backend="auto"):
+    """Sweep over an image stack.
 
     Returns ``(rates, psnrs)`` of shape (nb_images, nb_points)
     (reference ``jpeg2000.py:201-291``).
+
+    ``backend="auto"`` (default) uses ImageMagick with the reference's
+    quality ladder {24..40} when the CLI is installed - the
+    anchor-fidelity path - and falls back to Pillow/OpenJPEG at the
+    ratio ladder otherwise. Explicit ``ratios`` override either ladder.
     """
+    if backend == "auto":
+        backend = "imagemagick" if imagemagick_available() else "pillow"
+    if ratios is None:
+        ratios = REFERENCE_QUALITIES if backend == "imagemagick" else DEFAULT_RATIOS
     nb_images = luminances_uint8.shape[0]
     rates = numpy.zeros((nb_images, len(ratios)))
     psnrs = numpy.zeros((nb_images, len(ratios)))

@@ -1,4 +1,8 @@
-"""Anchor-codec tests (Pillow backend, in-process)."""
+"""Anchor-codec tests: Pillow backend in-process, plus gated tests that
+run the REAL external binaries (HM TAppEncoderStatic, ImageMagick) when
+they are available (VERDICT round 1, item 8)."""
+
+import os
 
 import numpy
 import pytest
@@ -10,7 +14,10 @@ from autoencoder_based_image_compression_tpu.codecs.jpeg import (
 from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
     compress_jpeg2000,
     evaluate_jpeg2000,
+    imagemagick_available,
 )
+
+HM_BIN = os.environ.get("AEIC_HM_ENCODER", "/tmp/HM-16.15/bin/TAppEncoderStatic")
 
 
 def _smooth_luminance(height, width, seed=0):
@@ -31,7 +38,7 @@ def test_jpeg2000_rate_monotone_in_ratio():
 
 def test_jpeg2000_sweep_rd_monotone():
     images = numpy.stack([_smooth_luminance(64, 64, s) for s in range(2)])
-    (rates, psnrs) = evaluate_jpeg2000(images, ratios=(48, 12))
+    (rates, psnrs) = evaluate_jpeg2000(images, ratios=(48, 12), backend="pillow")
     assert rates.shape == (2, 2) and psnrs.shape == (2, 2)
     # Higher rate -> higher PSNR per image.
     assert numpy.all(rates[:, 1] > rates[:, 0])
@@ -57,3 +64,28 @@ def test_compress_rgb_rejects_unknown_codec():
     rgb = numpy.zeros((32, 32, 3), numpy.uint8)
     with pytest.raises(ValueError):
         compress_rgb(rgb, 50, codec="webp")
+
+
+@pytest.mark.skipif(not os.path.isfile(HM_BIN),
+                    reason="HM TAppEncoderStatic not built (set AEIC_HM_ENCODER)")
+def test_hevc_real_binary_qp_sweep():
+    """Runs the real HM-16.15 encoder with the full all-intra config:
+    lower QP must give higher rate and higher PSNR."""
+    from autoencoder_based_image_compression_tpu.codecs.hevc import evaluate_hevc
+
+    images = _smooth_luminance(64, 64, 7)[None]
+    (rates, psnrs) = evaluate_hevc(images, [27, 42], HM_BIN)
+    assert rates.shape == (1, 2) and psnrs.shape == (1, 2)
+    assert rates[0, 0] > rates[0, 1] > 0.0
+    assert psnrs[0, 0] > psnrs[0, 1] > 20.0
+
+
+@pytest.mark.skipif(not imagemagick_available(),
+                    reason="ImageMagick not installed")
+def test_jpeg2000_imagemagick_reference_ladder():
+    """The reference's -quality ladder through the real magick CLI."""
+    images = numpy.stack([_smooth_luminance(64, 64, 9)])
+    (rates, psnrs) = evaluate_jpeg2000(images, ratios=(26, 38),
+                                       backend="imagemagick")
+    assert rates[0, 1] > rates[0, 0] > 0.0
+    assert psnrs[0, 1] > psnrs[0, 0]
