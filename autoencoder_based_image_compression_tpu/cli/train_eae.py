@@ -25,6 +25,7 @@ from autoencoder_based_image_compression_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from autoencoder_based_image_compression_tpu.train.loop import (
+    device_resident_dataset,
     evaluate_full,
     preliminary_fitting,
     run_epoch_training,
@@ -126,21 +127,23 @@ def main(args=None):
     key = jax.random.PRNGKey(args.seed + 1000 * args.idx_training + 1)
 
     t_start = time.time()
+    # One-time upload: the loops gather mini-batches from HBM.
+    training_dev = device_resident_dataset(training_uint8)
     if args.idx_training == 0:
         (key, sub) = jax.random.split(key)
-        state = preliminary_fitting(training_uint8, state, step_fns, args.batch_size,
+        state = preliminary_fitting(training_dev, state, step_fns, args.batch_size,
                                     args.nb_epochs_fitting, sub)
     nb_eval = min(args.nb_eval_examples, training_uint8.shape[0],
                   validation_uint8.shape[0])
+    eval_train = training_dev[:nb_eval]
+    eval_val = device_resident_dataset(validation_uint8[:nb_eval])
     history = {"train_disc_entropy": [], "train_scaled_approx_entropy": [],
                "train_rec_error": [], "val_rec_error": [],
                "train_entropy_gap": [], "val_entropy_gap": []}
     for epoch in range(args.nb_epochs_training):
         (key, k_train, k_eval_t, k_eval_v) = jax.random.split(key, 4)
-        ind_t = evaluate_full(state, training_uint8[:nb_eval], step_fns,
-                              args.gamma, k_eval_t)
-        ind_v = evaluate_full(state, validation_uint8[:nb_eval], step_fns,
-                              args.gamma, k_eval_v)
+        ind_t = evaluate_full(state, eval_train, step_fns, args.gamma, k_eval_t)
+        ind_v = evaluate_full(state, eval_val, step_fns, args.gamma, k_eval_v)
         history["train_disc_entropy"].append(ind_t["mean_disc_entropy"])
         history["train_scaled_approx_entropy"].append(ind_t["scaled_approx_entropy"])
         history["train_rec_error"].append(ind_t["rec_error"])
@@ -179,8 +182,19 @@ def main(args=None):
         print("Mean quantization bin width: "
               f"{float(numpy.mean(numpy.asarray(state.bin_widths))):.4f}")
         _monitor_numeric_domain(ind_t, nb_itvs)
-        state = run_epoch_training(training_uint8, state, step_fns, args.batch_size,
+        t_epoch = time.time()
+        state = run_epoch_training(training_dev, state, step_fns, args.batch_size,
                                    nb_batches, k_train)
+        # Per-epoch training throughput (the reference's dominant
+        # workload, training_eae_imagenet.py:169-254, was never timed).
+        # Completion barrier via a scalar host fetch: block_until_ready
+        # does not reliably block on experimental PJRT platforms.
+        int(state.step)
+        epoch_seconds = time.time() - t_epoch
+        pixels = nb_batches * args.batch_size * numpy.prod(training_uint8.shape[1:3])
+        print(f"Epoch wall-clock: {epoch_seconds:.2f} s "
+              f"({nb_batches / epoch_seconds:.2f} steps/s, "
+              f"{pixels / epoch_seconds / 1e6:.2f} Mpix/s)")
         save_checkpoint(path_next, state, allow_overwrite=True)
     # Training-curve artifacts (reference training_eae_imagenet.py:259-326).
     if args.nb_epochs_training > 1:

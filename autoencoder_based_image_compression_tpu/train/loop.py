@@ -58,18 +58,38 @@ def decode_mini_batches(quantized_y_float32, params, learn_bin_widths, batch_siz
     return numpy.concatenate(chunks, axis=0)
 
 
+def device_resident_dataset(training_uint8):
+    """Uploads the uint8 training stack to HBM once.
+
+    The training loops gather mini-batch rows ON DEVICE from this array
+    (uint8, cast to float32 inside the jitted step), so the per-step
+    host->device traffic is a handful of row indices instead of a
+    float32 image batch - the reference pays a full float32 ``feed_dict``
+    copy per ``sess.run`` (``eae/batching.py:48-53``), 4x the bytes of
+    the images, every step.
+    """
+    return jax.device_put(jnp.asarray(training_uint8))
+
+
+def _batch_rows(dataset, rows):
+    """Mini-batch gather: on-device when ``dataset`` lives on device."""
+    return jnp.take(dataset, jnp.asarray(rows), axis=0)
+
+
 def preliminary_fitting(training_uint8, state, step_fns, batch_size, nb_epochs_fitting,
                         key):
     """Density pre-fit epochs before the first joint training epoch.
 
-    Reference ``eae/batching.py:102-127``.
+    Reference ``eae/batching.py:102-127``. ``training_uint8`` may be a
+    numpy stack or a :func:`device_resident_dataset` array.
     """
     nb_batches = subdivide_set(training_uint8.shape[0], batch_size)
+    dataset = jnp.asarray(training_uint8)
     for _ in range(nb_epochs_fitting):
         for j in range(nb_batches):
             (key, subkey) = jax.random.split(key)
-            batch = jnp.asarray(
-                training_uint8[j * batch_size:(j + 1) * batch_size].astype(numpy.float32))
+            batch = jax.lax.slice_in_dim(dataset, j * batch_size,
+                                         (j + 1) * batch_size, axis=0)
             state = step_fns["training_fct"](state, batch, subkey)
     return state
 
@@ -80,14 +100,20 @@ def run_epoch_training(training_uint8, state, step_fns, batch_size, nb_batches, 
 
     Reference ``eae/batching.py:129-165``; the density update runs
     before the autoencoder update inside ``train_step``.
+    ``training_uint8`` may be a numpy stack or a
+    :func:`device_resident_dataset` array (zero per-step image upload).
     """
     if permutation is None:
         permutation = numpy.random.permutation(training_uint8.shape[0])
+    dataset = jnp.asarray(training_uint8)
+    if "train_epoch" in step_fns:
+        rows = numpy.asarray(permutation[:nb_batches * batch_size],
+                             dtype=numpy.int32).reshape(nb_batches, batch_size)
+        return step_fns["train_epoch"](state, dataset, jnp.asarray(rows), key)
     for i in range(nb_batches):
         (key, subkey) = jax.random.split(key)
         rows = permutation[i * batch_size:(i + 1) * batch_size]
-        batch = jnp.asarray(training_uint8[rows].astype(numpy.float32))
-        state = step_fns["train_step"](state, batch, subkey)
+        state = step_fns["train_step"](state, _batch_rows(dataset, rows), subkey)
     return state
 
 
@@ -125,7 +151,9 @@ def evaluate_full(state, batch_uint8, step_fns, gamma_scaling, key):
     from autoencoder_based_image_compression_tpu.ops.quantization import (
         quantize_per_map)
 
-    batch = jnp.asarray(batch_uint8.astype(numpy.float32))
+    # uint8 (possibly device-resident) batches go up as-is; the jitted
+    # evaluation casts to float32 on device.
+    batch = jnp.asarray(batch_uint8)
     (scaled_approx_entropy, rec_error, loss_density, y, approx_per_map, areas,
      weight_decay) = step_fns["evaluation"](state, batch, key)
     bin_widths = numpy.asarray(state.bin_widths)

@@ -41,6 +41,12 @@ def _flatten_maps(y_tilde):
 
 
 def _noisy_latents(params, visible_units, bin_widths, key, learn_bin_widths):
+    # Batches may arrive as device-resident uint8 (the training loop
+    # keeps the dataset in HBM and gathers rows on device - the
+    # reference re-uploads a float32 feed_dict every sess.run,
+    # eae/batching.py:48-53). The cast to float32 happens here, on
+    # device, inside the jit.
+    visible_units = visible_units.astype(jnp.float32)
     y = conv_eae.encode(params, visible_units, learn_bin_widths)
     y_tilde = add_uniform_noise(key, y, bin_widths)
     return y, y_tilde
@@ -77,6 +83,7 @@ def _rd_loss(params, bin_widths, visible_units, key, density_table, gamma_scalin
     parameters are inputs, not optimization variables, reproducing the
     reference's disjoint ``var_list``s.
     """
+    visible_units = visible_units.astype(jnp.float32)
     (_, y_tilde) = _noisy_latents(params, visible_units, bin_widths, key, learn_bin_widths)
     prob = dens.approximate_probability(_flatten_maps(y_tilde), density_table.parameters,
                                         ppi, max_itvs)
@@ -143,6 +150,8 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
     - ``train_step(state, batch, key)``: the fused per-batch alternation
       (density phase THEN eae/bw phase - ordering documented at
       reference ``eae/batching.py:154-163``)
+    - ``train_epoch(state, dataset, rows, key)``: a whole shuffled epoch
+      scanned inside ONE dispatch over a device-resident uint8 dataset
     - ``evaluation(state, batch, key)``: the training indicators
       (reference ``EntropyAutoencoder.py:542-589``) - returns
       ``(scaled_approx_entropy, rec_error, loss_density_approx, y,
@@ -173,7 +182,36 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
         return state
 
     @jax.jit
+    def train_epoch(state, dataset, rows, key):
+        """A whole epoch as ONE dispatch: ``lax.scan`` over the shuffled
+        mini-batch row indices, gathering each batch from the
+        device-resident uint8 dataset inside the scan body.
+
+        The per-step host->device dispatch (a ~27 ms round trip on a
+        tunneled chip, and never less than a kernel-launch tax) is paid
+        once per epoch instead of once per batch - the reference pays
+        ~6 ``sess.run`` round trips per batch
+        (``eae/batching.py:154-163``).
+
+        ``rows``: (nb_batches, batch_size) int32.
+        """
+        keys = jax.random.split(key, rows.shape[0])
+
+        def body(carry, xs):
+            (batch_rows, subkey) = xs
+            batch = jnp.take(dataset, batch_rows, axis=0)
+            (key_fct, key_eae) = jax.random.split(subkey)
+            carry = _density_phase(carry, batch, key_fct, **static)
+            carry = _eae_bw_phase(carry, batch, key_eae, adam, gamma_scaling,
+                                  **static)
+            return (carry, None)
+
+        (state, _) = jax.lax.scan(body, state, (rows, keys))
+        return state
+
+    @jax.jit
     def evaluation(state, batch, key):
+        batch = batch.astype(jnp.float32)
         (y, y_tilde) = _noisy_latents(state.params, batch, state.bin_widths, key,
                                       learn_bin_widths)
         max_abs = jnp.max(jnp.abs(y)) + 0.5 * jnp.max(state.bin_widths)
@@ -199,5 +237,6 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
         "training_fct": training_fct,
         "training_eae_bw": training_eae_bw,
         "train_step": train_step,
+        "train_epoch": train_epoch,
         "evaluation": evaluation,
     }
