@@ -83,3 +83,28 @@ def load_checkpoint(path, template):
 def checkpoint_exists(path):
     """True when ``<path>.npz`` is on disk."""
     return os.path.isfile(path + ".npz")
+
+
+def save_params_artifact(path_npz, params, bin_widths):
+    """Compressed params-only export (no optimizer/density state).
+
+    Small enough to version-control; the benchmark and parity harnesses
+    load it so their numbers are grounded in trained weights instead of
+    random init.
+    """
+    arrays = {f"param:{key}": numpy.asarray(value)
+              for (key, value) in params.items()}
+    arrays["bin_widths"] = numpy.asarray(bin_widths)
+    os.makedirs(os.path.dirname(path_npz) or ".", exist_ok=True)
+    numpy.savez_compressed(path_npz, **arrays)
+
+
+def load_params_artifact(path_npz):
+    """Loads a :func:`save_params_artifact` export.
+
+    Returns ``(params_dict, bin_widths)`` (jnp arrays).
+    """
+    data = numpy.load(path_npz)
+    params = {key[len("param:"):]: jnp.asarray(data[key])
+              for key in data.files if key.startswith("param:")}
+    return (params, jnp.asarray(data["bin_widths"]))

@@ -2,9 +2,18 @@
 
 Runs the flagship conv entropy autoencoder over a Kodak-shaped batch
 (24 luminance images, 512x768 - real Kodak data if
-``data/kodak/kodak.npy`` exists, synthetic otherwise; throughput does
-not depend on pixel values) and reports end-to-end
-encode + quantize + decode megapixels per second on one chip.
+``data/kodak/kodak.npy`` exists, synthetic otherwise) and reports
+end-to-end encode + quantize + decode megapixels per second on one
+chip.
+
+Weights: the TRAINED artifact
+``results/eae/learning_bw/0dot5_10000/params_trained.npz`` when
+present (so the int8 fast-path fidelity number reflects a trained
+weight distribution, not random init), random init otherwise.
+
+The scan megabatch contains NB_SCAN *distinct* batches (rolled/flipped
+variants with different pixels), so XLA cannot hoist a loop-invariant
+body and fake the number.
 
 ``vs_baseline`` compares against a reference-style execution of the
 *same* computation: per-mini-batch host round-trips with a synchronous
@@ -13,7 +22,8 @@ pattern, ``eae/batching.py:48-53``) at its batch size of 4
 (``reconstructing_eae_kodak.py:624``), versus our scan-megabatched
 async-dispatch pipeline (``engine.fast_roundtrip_scan``).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"fp32_mpix_per_s", "fast_vs_fp32_psnr_db", "weights"}.
 """
 
 import json
@@ -23,6 +33,10 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy
+
+TRAINED_ARTIFACT = os.path.join(
+    os.path.dirname(__file__), "results", "eae", "learning_bw", "0dot5_10000",
+    "params_trained.npz")
 
 
 def _kodak_batch():
@@ -34,6 +48,19 @@ def _kodak_batch():
         return images.astype(numpy.uint8)
     rng = numpy.random.default_rng(0)
     return rng.integers(16, 236, size=(24, 512, 768, 1)).astype(numpy.uint8)
+
+
+def _distinct_stack(images_f32, nb_scan):
+    """NB_SCAN genuinely different batches: spatial rolls + flips of the
+    Kodak batch (same shapes, different pixels - defeats loop-invariant
+    hoisting of the scan body)."""
+    variants = []
+    for k in range(nb_scan):
+        batch = numpy.roll(images_f32, 37 * k + 11, axis=2)
+        if k % 2 == 1:
+            batch = batch[:, ::-1]
+        variants.append(batch)
+    return numpy.stack(variants, axis=0)
 
 
 def _timeit(fn, repeats=5):
@@ -48,27 +75,37 @@ def _timeit(fn, repeats=5):
 
 def main():
     from autoencoder_based_image_compression_tpu.models import conv_eae
-    from autoencoder_based_image_compression_tpu.ops.quantization import quantize_per_map
+    from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
+    from autoencoder_based_image_compression_tpu.ops.quantization import (
+        cast_bt601,
+        quantize_per_map,
+    )
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        load_params_artifact)
 
     learn_bin_widths = True
-    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0), learn_bin_widths)
-    bin_widths = jnp.ones((128,), jnp.float32)
+    if os.path.isfile(TRAINED_ARTIFACT):
+        (params, bin_widths) = load_params_artifact(TRAINED_ARTIFACT)
+        weights_kind = "trained"
+    else:
+        params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0),
+                                               learn_bin_widths)
+        bin_widths = jnp.ones((128,), jnp.float32)
+        weights_kind = "random"
     images = _kodak_batch()
     nb_pixels = images.shape[0] * images.shape[1] * images.shape[2]
 
     from autoencoder_based_image_compression_tpu.engine import quantized as engine
 
-    @jax.jit
-    def roundtrip(params, batch, bin_widths):
+    def _roundtrip_fp32(params, batch, bin_widths):
         y = conv_eae.encode(params, batch, learn_bin_widths)
         quantized = quantize_per_map(y, bin_widths)
         return conv_eae.decode(params, quantized, learn_bin_widths)
 
+    roundtrip = jax.jit(_roundtrip_fp32)
+
     # --- ours: the quantized fast path (int8 weight-only kernels, bf16
-    # activations, dequant folded into the first transposed conv). Its
-    # reconstructions agree with the fp32 parity path at ~65 dB - far
-    # inside the 0.05 dB reference-parity budget
-    # (eval/throughput.parity_and_throughput measures this).
+    # activations, dequant folded into the first transposed conv).
     qparams = engine.quantize_params_int8(params)
     qfolded = engine.quantize_params_int8(
         engine.fold_bin_widths_into_decoder(params, bin_widths))
@@ -81,29 +118,63 @@ def main():
     # computation while keeping the transfer out of the timing.
     #
     # Sustained throughput: each dispatch runs a K-batch lax.scan
-    # megabatch (engine.fast_roundtrip_scan) and NB_IN_FLIGHT of those
-    # are in flight, the way the serving engine runs. Per-batch host
-    # dispatch would mostly measure this environment's ~27 ms tunnel
-    # latency; the device computes a Kodak-24 roundtrip in ~13 ms.
+    # megabatch over K DISTINCT batches (engine.fast_roundtrip_scan)
+    # and NB_IN_FLIGHT of those are in flight, the way the serving
+    # engine runs. Per-batch host dispatch would mostly measure this
+    # environment's ~27 ms tunnel latency; the device computes a
+    # Kodak-24 roundtrip in a few ms.
     NB_SCAN = 8
     NB_IN_FLIGHT = 2
-    batch_all = jax.device_put(jnp.asarray(images.astype(numpy.float32)))
+    images_f32 = images.astype(numpy.float32)
+    stack_all = jax.device_put(jnp.asarray(_distinct_stack(images_f32, NB_SCAN)))
+    batch_all = jax.device_put(jnp.asarray(images_f32))
 
     @jax.jit
-    def scan_checksum(qparams, qfolded, batch, bin_widths):
-        stack = jnp.broadcast_to(batch[None], (NB_SCAN,) + batch.shape)
+    def scan_checksum(qparams, qfolded, stack, bin_widths):
         (recs, symbols) = engine.fast_roundtrip_scan(qparams, qfolded, stack,
                                                      bin_widths)
         return jnp.sum(recs) + jnp.sum(symbols)
 
     def run_ours():
-        checksums = [scan_checksum(qparams, qfolded, batch_all, bin_widths)
+        checksums = [scan_checksum(qparams, qfolded, stack_all, bin_widths)
                      for _ in range(NB_IN_FLIGHT)]
         for checksum in checksums:
             numpy.asarray(checksum)
 
     seconds = _timeit(run_ours)
     mpix_per_s = NB_SCAN * NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
+
+    # --- fp32 parity path on the same distinct stack, same dispatch
+    # discipline (the no-quantization-tricks number).
+    @jax.jit
+    def scan_checksum_fp32(params, stack, bin_widths):
+        def body(carry, batch):
+            rec = _roundtrip_fp32(params, batch, bin_widths)
+            return (carry + jnp.sum(rec), None)
+
+        (total, _) = jax.lax.scan(body, jnp.float32(0.0), stack)
+        return total
+
+    def run_fp32():
+        checksums = [scan_checksum_fp32(params, stack_all, bin_widths)
+                     for _ in range(NB_IN_FLIGHT)]
+        for checksum in checksums:
+            numpy.asarray(checksum)
+
+    fp32_seconds = _timeit(run_fp32, repeats=3)
+    fp32_mpix = NB_SCAN * NB_IN_FLIGHT * nb_pixels / fp32_seconds / 1.0e6
+
+    # --- int8/bf16 fast-path fidelity vs the fp32 parity path, on the
+    # actual weights used above (trained when the artifact exists).
+    (recs_fast, _) = jax.jit(engine.fast_roundtrip_scan)(
+        qparams, qfolded, batch_all[None], bin_widths)
+    rec_fast = cast_bt601(numpy.asarray(recs_fast[0])[..., 0])
+    rec_fp32 = cast_bt601(numpy.asarray(
+        roundtrip(params, batch_all, bin_widths))[..., 0])
+    fidelity = numpy.mean([
+        psnr_2d(rec_fp32[i], rec_fast[i]) if not numpy.array_equal(
+            rec_fp32[i], rec_fast[i]) else 99.0
+        for i in range(rec_fp32.shape[0])])
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():
@@ -122,6 +193,9 @@ def main():
         "value": round(mpix_per_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_per_s / baseline_mpix, 3),
+        "fp32_mpix_per_s": round(fp32_mpix, 3),
+        "fast_vs_fp32_psnr_db": round(float(fidelity), 2),
+        "weights": weights_kind,
     }))
 
 

@@ -124,6 +124,26 @@ def test_checkpoint_roundtrip_and_overwrite_guard():
             raise AssertionError("expected refusal to overwrite an existing checkpoint")
 
 
+def test_params_artifact_roundtrip():
+    """Compressed params-only export (what the benchmark loads)."""
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        load_params_artifact,
+        save_params_artifact,
+    )
+
+    (state, _, _, _) = _tiny_setup(learn_bin_widths=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "params.npz")
+        save_params_artifact(path, state.params, state.bin_widths)
+        (params, bin_widths) = load_params_artifact(path)
+        assert set(params) == set(state.params)
+        for k in params:
+            numpy.testing.assert_array_equal(numpy.asarray(params[k]),
+                                             numpy.asarray(state.params[k]))
+        numpy.testing.assert_array_equal(numpy.asarray(bin_widths),
+                                         numpy.asarray(state.bin_widths))
+
+
 def test_checkpoint_rename_fails_loudly():
     """Leaves are keyed by tree path: a same-shape key rename must raise,
     not silently map onto another tensor (all GDN gammas share a shape)."""
