@@ -2,12 +2,14 @@
 
 Parity path (float32, ``models/conv_eae.py``) stays the numerical
 reference; this package holds the performance variants: bf16
-activations, INT8 weight-only conv kernels with fp32 scales, the
-Pallas-fused GDN/quantizer, and bin-width dequantization folded into
-the decoder's first transposed conv.
+activations, bf16-rounded weights (the parity-safe serving default),
+INT8 weight-only conv kernels with fp32 scales, the Pallas-fused
+GDN/quantizer, and bin-width dequantization folded into the decoder's
+first transposed conv.
 """
 
 from autoencoder_based_image_compression_tpu.engine.quantized import (
+    bf16_weight_params,
     dequantize_int8_params,
     fast_decode,
     fast_decode_fixed_bw,

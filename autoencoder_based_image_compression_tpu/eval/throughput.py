@@ -46,13 +46,16 @@ def time_with_checksum(fn, *args, repeats=5, nb_in_flight=1):
 
 
 def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
-                          nb_in_flight=1):
-    """Compares the fp32 parity path against the int8/bf16 fast path.
+                          nb_in_flight=1, weight_mode="bf16w"):
+    """Compares the fp32 parity path against the bf16-activation fast path.
 
-    Returns a dict with Mpix/s for both paths and the PSNR between
-    their uint8 reconstructions (how much fidelity the fast path gives
-    up relative to the parity path - on a trained model this must stay
-    high enough to keep the reference-parity budget intact).
+    ``weight_mode`` picks the fast path's weight store: ``"bf16w"``
+    (default - bf16-rounded kernels, the parity-safe serving path) or
+    ``"int8"`` (int8 weight-only store + fp32 scales). Returns a dict
+    with Mpix/s for both paths and the PSNR between their uint8
+    reconstructions (how much fidelity the fast path gives up relative
+    to the parity path - on a trained model this must stay high enough
+    to keep the reference-parity budget intact).
     Learned-bin-width architecture.
     """
     from autoencoder_based_image_compression_tpu.engine import quantized as engine
@@ -66,9 +69,10 @@ def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
         quantized = quantize_per_map(y, bin_widths)
         return conv_eae.decode(params, quantized, True)
 
-    qparams = engine.quantize_params_int8(params)
-    qfolded = engine.quantize_params_int8(
-        engine.fold_bin_widths_into_decoder(params, bin_widths))
+    store = (engine.bf16_weight_params if weight_mode == "bf16w"
+             else engine.quantize_params_int8)
+    qparams = store(params)
+    qfolded = store(engine.fold_bin_widths_into_decoder(params, bin_widths))
 
     def fast_path(qparams, qfolded, images, bin_widths):
         y = engine.fast_encode(qparams, images, learn_bin_widths=True)
@@ -95,6 +99,7 @@ def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
         "mpix_per_s_parity": nb_pixels / seconds_parity / 1e6,
         "mpix_per_s_fast": nb_pixels / seconds_fast / 1e6,
         "psnr_fast_vs_parity_db": psnr_between,
+        "weight_mode": weight_mode,
     }
 
 

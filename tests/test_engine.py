@@ -258,3 +258,48 @@ def test_fast_path_s2d_matches_plain():
     numpy.testing.assert_allclose(numpy.asarray(rec_s2d),
                                   numpy.asarray(rec_plain),
                                   rtol=1e-2, atol=2e-2)
+
+
+def test_bf16_weight_variant_beats_int8_on_trained_model():
+    """The bf16w fast path must sit closer to the fp32 parity path than
+    the int8 store on the trained model (its reason to exist), and both
+    must land within the parity budget on image-like content."""
+    import os
+
+    from autoencoder_based_image_compression_tpu.data.synthetic import (
+        synthetic_luminance_stack)
+    from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
+    from autoencoder_based_image_compression_tpu.ops.quantization import cast_bt601
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        load_params_artifact)
+
+    artifact = os.path.join(os.path.dirname(__file__), "..", "results", "eae",
+                            "learning_bw", "0dot5_10000", "params_trained.npz")
+    (params, bin_widths) = load_params_artifact(artifact)
+    images = jnp.asarray(synthetic_luminance_stack(2, 128, 192, seed=5)
+                         .astype(numpy.float32))
+
+    y = conv_eae.encode(params, images, True)
+    rec_ref = cast_bt601(numpy.asarray(
+        conv_eae.decode(params, quantize_per_map(y, bin_widths), True))[..., 0])
+    orig = cast_bt601(numpy.asarray(images)[..., 0])
+    psnr_ref = numpy.mean([psnr_2d(orig[i], rec_ref[i]) for i in range(2)])
+
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    deltas = {}
+    for (tag, qp, qf) in [
+            ("int8", engine.quantize_params_int8(params),
+             engine.quantize_params_int8(folded)),
+            ("bf16w", engine.bf16_weight_params(params),
+             engine.bf16_weight_params(folded))]:
+        y_fast = engine.fast_encode(qp, images, learn_bin_widths=True)
+        rec = cast_bt601(numpy.asarray(
+            engine.fast_decode(qf, jnp.round(y_fast / bin_widths)))[..., 0])
+        psnr = numpy.mean([psnr_2d(orig[i], rec[i]) for i in range(2)])
+        deltas[tag] = abs(float(psnr - psnr_ref))
+    assert deltas["bf16w"] <= deltas["int8"]
+    assert deltas["bf16w"] < 0.05  # the parity gate, with margin
+    # int8 is NOT parity-safe at the 0.05 dB gate (measured ~0.03 dB on
+    # Kodak-24-sized samples, ~0.15 dB on this 2-image one); it stays a
+    # smaller-weights option, the bf16w path is the parity headline.
+    assert deltas["int8"] < 0.5
