@@ -42,6 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy
 
+from autoencoder_based_image_compression_tpu.utils.compile_cache import (
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 TRAINED_ARTIFACT = os.path.join(
     os.path.dirname(__file__), "results", "eae", "learning_bw", "0dot5_10000",
     "params_trained.npz")

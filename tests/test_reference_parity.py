@@ -52,3 +52,34 @@ def test_latents_match_reference_graph():
     y_ours = numpy.asarray(conv_eae.encode(params, jnp.asarray(images), True))
     scale = numpy.abs(y_ref).max()
     assert numpy.abs(y_ours - y_ref).max() < 1e-4 * scale
+
+
+@pytest.mark.parametrize("bw_init,learn_bw", [(0.5, True), (1.0, False)])
+def test_e2e_psnr_parity_gate_trained_weights(bw_init, learn_bw):
+    """The 0.05 dB gate on TRAINED weight distributions (both variants).
+
+    Random-init parity (above) can mask distribution-dependent numeric
+    drift; this asserts the gate on the checked-in trained artifacts
+    when they exist (produced by ``scripts/rd_campaign.py``).
+    """
+    import os
+
+    from autoencoder_based_image_compression_tpu.data.synthetic import (
+        synthetic_luminance_stack)
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        load_params_artifact)
+    from autoencoder_based_image_compression_tpu.utils.naming import (
+        experiment_suffix)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "eae", experiment_suffix(bw_init, 10000.0, learn_bw),
+        "params_trained.npz")
+    if not os.path.isfile(path):
+        pytest.skip(f"no trained artifact at {path}")
+    (params, bin_widths) = load_params_artifact(path)
+    images = synthetic_luminance_stack(2, 64, 64, seed=21)[..., 0]
+    report = reference_parity.measure_psnr_parity(
+        params, numpy.asarray(bin_widths), images, learn_bw, batch_size=2)
+    assert report["max_abs_delta_db"] <= 0.05, report
+    assert report["cross_psnr_db"] > 45.0, report
