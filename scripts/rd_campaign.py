@@ -128,8 +128,14 @@ def main():
     parser.add_argument("--hevc_encoder", default="")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes / 2 epochs on small data - wiring "
-                             "check only (run it on CPU via JAX_PLATFORMS=cpu)")
+                             "check only (run it on CPU via AEIC_PLATFORM=cpu; "
+                             "JAX_PLATFORMS is latched too early by the "
+                             "environment's sitecustomize)")
+    parser.add_argument("--gammas", type=float, nargs="*", default=None,
+                        help="subset of the gamma ladder to train "
+                             f"(default: all of {GAMMAS_VARY})")
     args = parser.parse_args()
+    gammas = GAMMAS_VARY if args.gammas is None else args.gammas
 
     crop = 256
     kodak_shape = (24, 512, 768)
@@ -145,7 +151,7 @@ def main():
     # Model ladder: 7 fixed-bw models (one per gamma) + the learned-bw
     # sweep model. The fixed-bw gamma=10000 ladder entry doubles as the
     # fixed-bw sweep model (reference delta_init 1.0 for both).
-    for gamma in GAMMAS_VARY:
+    for gamma in gammas:
         train_one(args.results_root, paths, 1.0, gamma, False,
                   args.nb_epochs, args.batch_size)
     train_one(args.results_root, paths, 0.5, 10000.0, True,
