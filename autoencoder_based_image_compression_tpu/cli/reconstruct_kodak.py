@@ -67,6 +67,15 @@ def main(args=None):
     parser.add_argument("--cache_dir", default="results/rd")
     parser.add_argument("--hevc_encoder", default="",
                         help="path to HM TAppEncoderStatic (optional)")
+    parser.add_argument("--hevc_qps", type=int, nargs="*", default=None,
+                        help=f"HM QP ladder (default {HEVC_QPS}, the "
+                             "reference's; extend toward 51 when the "
+                             "content codes far below the reference's "
+                             "operating range)")
+    parser.add_argument("--jpeg2000_ratios", type=float, nargs="*", default=None,
+                        help="Pillow/OpenJPEG compression-ratio ladder "
+                             "(default: the backend's reference-range "
+                             "ladder)")
     parser.add_argument("--write_ref", action="store_true",
                         help="save the reference luminance images as PNGs "
                              "(rotated back per list_rotation.pkl)")
@@ -157,7 +166,8 @@ def main(args=None):
         from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
             evaluate_jpeg2000)
 
-        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images)
+        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images,
+                                                   ratios=args.jpeg2000_ratios)
         curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
                        "JPEG2000", "x--"))
     except Exception as error:  # anchor optional
@@ -166,7 +176,9 @@ def main(args=None):
     if args.hevc_encoder:
         from autoencoder_based_image_compression_tpu.codecs.hevc import evaluate_hevc
 
-        (rates_hevc, psnrs_hevc) = evaluate_hevc(images, HEVC_QPS, args.hevc_encoder)
+        (rates_hevc, psnrs_hevc) = evaluate_hevc(
+            images, HEVC_QPS if args.hevc_qps is None else args.hevc_qps,
+            args.hevc_encoder)
         curves.append((numpy.mean(rates_hevc, axis=0), numpy.mean(psnrs_hevc, axis=0),
                        "HEVC", "d--"))
 

@@ -71,7 +71,8 @@ def build_data(root, nb_training, nb_validation, nb_extra, crop, kodak_shape):
     return paths
 
 
-def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_size):
+def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_size,
+              idx_part=0):
     """One resumable training part (skipped if its checkpoint exists)."""
     from autoencoder_based_image_compression_tpu.cli import train_eae
     from autoencoder_based_image_compression_tpu.train.checkpoint import (
@@ -80,10 +81,12 @@ def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_si
         experiment_suffix)
 
     suffix = experiment_suffix(bw_init, gamma, learn_bw)
-    if checkpoint_exists(os.path.join(results_root, suffix, "model_1")):
-        print(f"[campaign] {suffix}: model_1 exists, skipping training")
+    if checkpoint_exists(os.path.join(results_root, suffix,
+                                      f"model_{idx_part + 1}")):
+        print(f"[campaign] {suffix}: model_{idx_part + 1} exists, "
+              "skipping training")
         return
-    argv = [str(bw_init), str(gamma), "0",
+    argv = [str(bw_init), str(gamma), str(idx_part),
             "--nb_epochs_training", str(nb_epochs),
             "--batch_size", str(batch_size),
             "--path_to_training_data", paths["training"],
@@ -93,26 +96,42 @@ def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_si
         argv.append("--learn_bin_widths")
     t0 = time.time()
     train_eae.main(argv)
-    print(f"[campaign] {suffix}: trained in {time.time() - t0:.1f} s")
+    print(f"[campaign] {suffix}: part {idx_part} trained in "
+          f"{time.time() - t0:.1f} s")
 
 
-def collect_stats(results_root, paths, bw_init, gamma, learn_bw):
+def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
+    """Extra-set statistics for model_{idx_model} (re-collected whenever
+    the model index advances - the reference regenerates them for any
+    retrained model, ``collecting_stats_eae_extra.py:4-7``)."""
+    import json
+
     from autoencoder_based_image_compression_tpu.cli import collect_stats as cs
     from autoencoder_based_image_compression_tpu.utils.naming import (
         experiment_suffix)
 
     suffix = experiment_suffix(bw_init, gamma, learn_bw)
     stats_dir = os.path.join(results_root, suffix, "statistics")
+    marker = os.path.join(stats_dir, "stats_model_idx.json")
     if os.path.isfile(os.path.join(stats_dir, "map_mean.npy")):
-        print(f"[campaign] {suffix}: statistics exist, skipping")
-        return
-    argv = [str(bw_init), str(gamma), "1",
+        recorded = -1
+        if os.path.isfile(marker):
+            with open(marker) as file:
+                recorded = json.load(file).get("idx_model", -1)
+        if recorded == idx_model:
+            print(f"[campaign] {suffix}: statistics for model_{idx_model} "
+                  "exist, skipping")
+            return
+    argv = [str(bw_init), str(gamma), str(idx_model),
             "--path_to_extra_data", paths["extra"],
             "--results_root", results_root]
     if learn_bw:
         argv.append("--learn_bin_widths")
     cs.main(argv)
-    print(f"[campaign] {suffix}: statistics collected")
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(marker, "w") as file:
+        json.dump({"idx_model": idx_model}, file)
+    print(f"[campaign] {suffix}: statistics collected (model_{idx_model})")
 
 
 def main():
@@ -124,8 +143,13 @@ def main():
     parser.add_argument("--nb_validation", type=int, default=100)
     parser.add_argument("--nb_extra", type=int, default=240)
     parser.add_argument("--nb_epochs", type=int, default=30)
+    parser.add_argument("--nb_parts", type=int, default=1,
+                        help="number of resumable training parts per model "
+                             "(each --nb_epochs long)")
     parser.add_argument("--batch_size", type=int, default=10)
     parser.add_argument("--hevc_encoder", default="")
+    parser.add_argument("--hevc_qps", type=int, nargs="*", default=None)
+    parser.add_argument("--jpeg2000_ratios", type=float, nargs="*", default=None)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes / 2 epochs on small data - wiring "
                              "check only (run it on CPU via AEIC_PLATFORM=cpu; "
@@ -149,16 +173,21 @@ def main():
                        args.nb_extra, crop, kodak_shape)
 
     # Model ladder: 7 fixed-bw models (one per gamma) + the learned-bw
-    # sweep model. The fixed-bw gamma=10000 ladder entry doubles as the
-    # fixed-bw sweep model (reference delta_init 1.0 for both).
-    for gamma in gammas:
-        train_one(args.results_root, paths, 1.0, gamma, False,
-                  args.nb_epochs, args.batch_size)
-    train_one(args.results_root, paths, 0.5, 10000.0, True,
-              args.nb_epochs, args.batch_size)
+    # sweep model, each trained in --nb_parts resumable parts (the
+    # reference's multi-part scheme, training_eae_imagenet.py:75-96).
+    # The fixed-bw gamma=10000 ladder entry doubles as the fixed-bw
+    # sweep model (reference delta_init 1.0 for both).
+    for idx_part in range(args.nb_parts):
+        for gamma in gammas:
+            train_one(args.results_root, paths, 1.0, gamma, False,
+                      args.nb_epochs, args.batch_size, idx_part)
+        train_one(args.results_root, paths, 0.5, 10000.0, True,
+                  args.nb_epochs, args.batch_size, idx_part)
 
-    collect_stats(args.results_root, paths, 0.5, 10000.0, True)
-    collect_stats(args.results_root, paths, 1.0, 10000.0, False)
+    collect_stats(args.results_root, paths, 0.5, 10000.0, True,
+                  args.nb_parts)
+    collect_stats(args.results_root, paths, 1.0, 10000.0, False,
+                  args.nb_parts)
 
     # Version-controllable params-only exports of the two sweep models
     # (the full checkpoints carry optimizer state and stay untracked);
@@ -179,19 +208,27 @@ def main():
                                experiment_suffix(bw_init, 10000.0, learn_bw))
         template = init_train_state(jax.random.PRNGKey(0), 10000.0, bw_init,
                                     learn_bw)
-        state = load_checkpoint(os.path.join(exp_dir, "model_1"), template)
+        state = load_checkpoint(
+            os.path.join(exp_dir, f"model_{args.nb_parts}"), template)
         save_params_artifact(os.path.join(exp_dir, "params_trained.npz"),
                              state.params, numpy.asarray(state.bin_widths))
 
     from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
 
-    reconstruct_kodak.main([
-        "--idx_training", "1",
+    argv = [
+        "--idx_training", str(args.nb_parts),
         "--code_lossless",
         "--path_to_kodak", paths["kodak"],
         "--results_root", args.results_root,
         "--cache_dir", args.out,
-    ] + (["--hevc_encoder", args.hevc_encoder] if args.hevc_encoder else []))
+    ]
+    if args.hevc_encoder:
+        argv += ["--hevc_encoder", args.hevc_encoder]
+        if args.hevc_qps:
+            argv += ["--hevc_qps"] + [str(q) for q in args.hevc_qps]
+    if args.jpeg2000_ratios:
+        argv += ["--jpeg2000_ratios"] + [str(r) for r in args.jpeg2000_ratios]
+    reconstruct_kodak.main(argv)
 
 
 if __name__ == "__main__":
