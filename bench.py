@@ -235,6 +235,31 @@ def main():
     baseline_seconds = _timeit(run_reference_style, repeats=3)
     baseline_mpix = nb_pixels / baseline_seconds / 1.0e6
 
+    # --- true-bitstream serving path (secondary metric): device
+    # encode/decode overlapped with the host C++ arithmetic coder via
+    # PipelinedCompressor, using the trained extra-set statistics when
+    # the campaign produced them. This is rate-validated serving (real
+    # bits, bit-exact round trip asserted per image), so it bounds the
+    # deployable true-rate throughput, coder-side included.
+    coded_mpix = None
+    stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
+    if weights_kind == "trained" and os.path.isfile(
+            os.path.join(stats_dir, "map_mean.npy")):
+        import pickle
+
+        from autoencoder_based_image_compression_tpu.parallel.inference import (
+            PipelinedCompressor)
+
+        with open(os.path.join(stats_dir, "idx_map_exception.pkl"), "rb") as f:
+            idx_exc = pickle.load(f)
+        compressor = PipelinedCompressor(
+            params, bin_widths, learn_bin_widths,
+            os.path.join(stats_dir, "binary_probabilities_1.npy"),
+            numpy.load(os.path.join(stats_dir, "map_mean.npy")),
+            idx_exc, batch_size=8)
+        coded_seconds = _timeit(lambda: compressor(images), repeats=3)
+        coded_mpix = nb_pixels / coded_seconds / 1.0e6
+
     print(json.dumps({
         "metric": "kodak24_encode_decode_throughput",
         "value": round(mpix_per_s, 3),
@@ -248,6 +273,8 @@ def main():
                                  for (tag, v) in fidelity.items()},
         "psnr_delta_vs_fp32_db": {tag: round(float(v), 4)
                                   for (tag, v) in psnr_delta.items()},
+        "true_bitstream_mpix_per_s": (round(coded_mpix, 3)
+                                      if coded_mpix is not None else None),
         "weights": weights_kind,
     }))
 
