@@ -72,14 +72,37 @@ def main(args=None):
                              "reference's; extend toward 51 when the "
                              "content codes far below the reference's "
                              "operating range)")
-    parser.add_argument("--jpeg2000_ratios", type=float, nargs="*", default=None,
-                        help="Pillow/OpenJPEG compression-ratio ladder "
-                             "(default: the backend's reference-range "
-                             "ladder)")
+    parser.add_argument("--jpeg2000_backend", default="auto",
+                        choices=["auto", "pillow", "imagemagick"],
+                        help="JPEG2000 anchor backend; 'auto' prefers "
+                             "ImageMagick (the reference's) when installed")
+    parser.add_argument("--jpeg2000_ladder", "--jpeg2000_ratios",
+                        dest="jpeg2000_ladder",
+                        type=float, nargs="*", default=None,
+                        help="JPEG2000 sweep values. Semantics depend on the "
+                             "backend: ImageMagick -quality settings "
+                             "(reference ladder {24..40}) for "
+                             "'imagemagick', Pillow/OpenJPEG compression "
+                             "ratios for 'pillow'. Explicit values force "
+                             "--jpeg2000_backend to be given (not 'auto') "
+                             "so the ladder cannot be reinterpreted by the "
+                             "other backend. Default: the backend's "
+                             "reference-range ladder.")
     parser.add_argument("--write_ref", action="store_true",
                         help="save the reference luminance images as PNGs "
                              "(rotated back per list_rotation.pkl)")
     args = parser.parse_args(args)
+
+    # Bare ``--hevc_qps`` / ``--jpeg2000_ladder`` (nargs="*" with zero
+    # values) mean "use the default ladder", not an empty sweep.
+    if not args.hevc_qps:
+        args.hevc_qps = None
+    if not args.jpeg2000_ladder:
+        args.jpeg2000_ladder = None
+    elif args.jpeg2000_backend == "auto":
+        parser.error("--jpeg2000_ladder values are backend-specific "
+                     "(ImageMagick qualities vs Pillow compression ratios); "
+                     "pass an explicit --jpeg2000_backend with them.")
 
     images = numpy.load(args.path_to_bsds if args.use_bsds else args.path_to_kodak)
 
@@ -167,7 +190,8 @@ def main(args=None):
             evaluate_jpeg2000)
 
         (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images,
-                                                   ratios=args.jpeg2000_ratios)
+                                                   ratios=args.jpeg2000_ladder,
+                                                   backend=args.jpeg2000_backend)
         curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
                        "JPEG2000", "x--"))
     except Exception as error:  # anchor optional

@@ -85,16 +85,21 @@ def checkpoint_exists(path):
     return os.path.isfile(path + ".npz")
 
 
-def save_params_artifact(path_npz, params, bin_widths):
+def save_params_artifact(path_npz, params, bin_widths, step=None):
     """Compressed params-only export (no optimizer/density state).
 
     Small enough to version-control; the benchmark and parity harnesses
     load it so their numbers are grounded in trained weights instead of
-    random init.
+    random init. ``step`` records the training step the params came
+    from, so consumers that pair this artifact with other per-model
+    artifacts (e.g. the extra-set coding statistics) can detect a
+    mismatched pair instead of silently benchmarking stale rates.
     """
     arrays = {f"param:{key}": numpy.asarray(value)
               for (key, value) in params.items()}
     arrays["bin_widths"] = numpy.asarray(bin_widths)
+    if step is not None:
+        arrays["step"] = numpy.asarray(int(step), dtype=numpy.int64)
     os.makedirs(os.path.dirname(path_npz) or ".", exist_ok=True)
     numpy.savez_compressed(path_npz, **arrays)
 
@@ -108,3 +113,9 @@ def load_params_artifact(path_npz):
     params = {key[len("param:"):]: jnp.asarray(data[key])
               for key in data.files if key.startswith("param:")}
     return (params, jnp.asarray(data["bin_widths"]))
+
+
+def params_artifact_step(path_npz):
+    """Training step recorded in a params artifact, or None (old export)."""
+    data = numpy.load(path_npz)
+    return int(data["step"]) if "step" in data.files else None

@@ -243,8 +243,36 @@ def main():
     # deployable true-rate throughput, coder-side included.
     coded_mpix = None
     stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
+
+    def _stats_match_artifact():
+        """The coded metric pairs the params artifact with the extra-set
+        statistics; both record the training step they came from, and a
+        disagreement (e.g. an interrupted multi-part campaign that
+        re-collected stats for a newer model than the export) would
+        silently benchmark mismatched rates - skip with a warning."""
+        import sys
+
+        from autoencoder_based_image_compression_tpu.train.checkpoint import (
+            params_artifact_step)
+
+        artifact_step = params_artifact_step(TRAINED_ARTIFACT)
+        marker = os.path.join(stats_dir, "stats_model_idx.json")
+        stats_step = None
+        if os.path.isfile(marker):
+            with open(marker) as file:
+                stats_step = json.load(file).get("step")
+        if artifact_step is None or stats_step is None:
+            return True  # pre-step-stamp artifacts: assume the pair
+        if artifact_step != stats_step:
+            print(f"WARNING: params artifact (step {artifact_step}) and "
+                  f"coding statistics (step {stats_step}) come from "
+                  "different training steps; skipping the true-bitstream "
+                  "metric.", file=sys.stderr)
+            return False
+        return True
+
     if weights_kind == "trained" and os.path.isfile(
-            os.path.join(stats_dir, "map_mean.npy")):
+            os.path.join(stats_dir, "map_mean.npy")) and _stats_match_artifact():
         import pickle
 
         from autoencoder_based_image_compression_tpu.parallel.inference import (

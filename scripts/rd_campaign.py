@@ -43,8 +43,26 @@ from autoencoder_based_image_compression_tpu.data.synthetic import (
 GAMMAS_VARY = [10000.0, 12000.0, 16000.0, 24000.0, 40000.0, 72000.0, 96000.0]
 
 
+def _ensure_stack(path, expected_shape, build):
+    """Reuses ``path`` only when its shape matches the requested config.
+
+    A stale stack (e.g. a --smoke run's 64x64/40-image data left in the
+    same --data_root) is regenerated instead of silently training the
+    whole gamma ladder on it.
+    """
+    if os.path.isfile(path):
+        existing = numpy.load(path, mmap_mode="r")
+        if tuple(existing.shape) == tuple(expected_shape):
+            return
+        print(f"[campaign] {path}: shape {tuple(existing.shape)} does not "
+              f"match the requested {tuple(expected_shape)}; regenerating")
+        del existing
+    numpy.save(path, build())
+
+
 def build_data(root, nb_training, nb_validation, nb_extra, crop, kodak_shape):
-    """Synthetic stacks with the reference sets' shapes, saved once."""
+    """Synthetic stacks with the reference sets' shapes, saved once
+    (shape-validated against the requested config on reuse)."""
     os.makedirs(root, exist_ok=True)
     paths = {
         "training": os.path.join(root, "training_data.npy"),
@@ -52,22 +70,23 @@ def build_data(root, nb_training, nb_validation, nb_extra, crop, kodak_shape):
         "extra": os.path.join(root, "extra_data.npy"),
         "kodak": os.path.join(root, "kodak.npy"),
     }
-    if not os.path.isfile(paths["training"]):
-        numpy.save(paths["training"],
-                   synthetic_luminance_stack(nb_training, crop, crop, seed=11))
-    if not os.path.isfile(paths["validation"]):
-        numpy.save(paths["validation"],
-                   synthetic_luminance_stack(nb_validation, crop, crop, seed=12))
-    if not os.path.isfile(paths["extra"]):
-        numpy.save(paths["extra"],
-                   synthetic_luminance_stack(nb_extra, crop, crop, seed=13))
-    if not os.path.isfile(paths["kodak"]):
+    _ensure_stack(paths["training"], (nb_training, crop, crop, 1),
+                  lambda: synthetic_luminance_stack(nb_training, crop, crop,
+                                                    seed=11))
+    _ensure_stack(paths["validation"], (nb_validation, crop, crop, 1),
+                  lambda: synthetic_luminance_stack(nb_validation, crop, crop,
+                                                    seed=12))
+    _ensure_stack(paths["extra"], (nb_extra, crop, crop, 1),
+                  lambda: synthetic_luminance_stack(nb_extra, crop, crop,
+                                                    seed=13))
+
+    def _build_kodak():
         if kodak_shape == (24, 512, 768):
-            stack = synthetic_kodak(seed=14)[..., 0]
-        else:
-            (nb, h, w) = kodak_shape
-            stack = synthetic_luminance_stack(nb, h, w, seed=14)[..., 0]
-        numpy.save(paths["kodak"], stack)
+            return synthetic_kodak(seed=14)[..., 0]
+        (nb, h, w) = kodak_shape
+        return synthetic_luminance_stack(nb, h, w, seed=14)[..., 0]
+
+    _ensure_stack(paths["kodak"], kodak_shape, _build_kodak)
     return paths
 
 
@@ -111,7 +130,8 @@ def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
         experiment_suffix)
 
     suffix = experiment_suffix(bw_init, gamma, learn_bw)
-    stats_dir = os.path.join(results_root, suffix, "statistics")
+    exp_dir = os.path.join(results_root, suffix)
+    stats_dir = os.path.join(exp_dir, "statistics")
     marker = os.path.join(stats_dir, "stats_model_idx.json")
     if os.path.isfile(os.path.join(stats_dir, "map_mean.npy")):
         recorded = -1
@@ -128,10 +148,19 @@ def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
     if learn_bw:
         argv.append("--learn_bin_widths")
     cs.main(argv)
+    # The marker records which model (and its training step, from the
+    # checkpoint meta) the statistics were collected from, so consumers
+    # pairing them with a params export can detect a mismatched pair.
+    step = None
+    meta_path = os.path.join(exp_dir, f"model_{idx_model}.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as file:
+            step = json.load(file).get("step")
     os.makedirs(stats_dir, exist_ok=True)
     with open(marker, "w") as file:
-        json.dump({"idx_model": idx_model}, file)
-    print(f"[campaign] {suffix}: statistics collected (model_{idx_model})")
+        json.dump({"idx_model": idx_model, "step": step}, file)
+    print(f"[campaign] {suffix}: statistics collected "
+          f"(model_{idx_model}, step {step})")
 
 
 def main():
@@ -149,7 +178,13 @@ def main():
     parser.add_argument("--batch_size", type=int, default=10)
     parser.add_argument("--hevc_encoder", default="")
     parser.add_argument("--hevc_qps", type=int, nargs="*", default=None)
-    parser.add_argument("--jpeg2000_ratios", type=float, nargs="*", default=None)
+    parser.add_argument("--jpeg2000_backend", default="auto",
+                        choices=["auto", "pillow", "imagemagick"])
+    parser.add_argument("--jpeg2000_ladder", "--jpeg2000_ratios",
+                        dest="jpeg2000_ladder",
+                        type=float, nargs="*", default=None,
+                        help="backend-specific JPEG2000 sweep values "
+                             "(requires an explicit --jpeg2000_backend)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes / 2 epochs on small data - wiring "
                              "check only (run it on CPU via AEIC_PLATFORM=cpu; "
@@ -176,9 +211,14 @@ def main():
     # sweep model, each trained in --nb_parts resumable parts (the
     # reference's multi-part scheme, training_eae_imagenet.py:75-96).
     # The fixed-bw gamma=10000 ladder entry doubles as the fixed-bw
-    # sweep model (reference delta_init 1.0 for both).
+    # sweep model (reference delta_init 1.0 for both), so it is trained
+    # even when --gammas excludes 10000 - the stats/params exports and
+    # the RD evaluation below depend on it unconditionally.
+    gammas_trained = list(gammas)
+    if 10000.0 not in gammas_trained:
+        gammas_trained.append(10000.0)
     for idx_part in range(args.nb_parts):
-        for gamma in gammas:
+        for gamma in gammas_trained:
             train_one(args.results_root, paths, 1.0, gamma, False,
                       args.nb_epochs, args.batch_size, idx_part)
         train_one(args.results_root, paths, 0.5, 10000.0, True,
@@ -211,7 +251,8 @@ def main():
         state = load_checkpoint(
             os.path.join(exp_dir, f"model_{args.nb_parts}"), template)
         save_params_artifact(os.path.join(exp_dir, "params_trained.npz"),
-                             state.params, numpy.asarray(state.bin_widths))
+                             state.params, numpy.asarray(state.bin_widths),
+                             step=int(state.step))
 
     from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
 
@@ -226,8 +267,10 @@ def main():
         argv += ["--hevc_encoder", args.hevc_encoder]
         if args.hevc_qps:
             argv += ["--hevc_qps"] + [str(q) for q in args.hevc_qps]
-    if args.jpeg2000_ratios:
-        argv += ["--jpeg2000_ratios"] + [str(r) for r in args.jpeg2000_ratios]
+    if args.jpeg2000_backend != "auto":
+        argv += ["--jpeg2000_backend", args.jpeg2000_backend]
+    if args.jpeg2000_ladder:
+        argv += ["--jpeg2000_ladder"] + [str(r) for r in args.jpeg2000_ladder]
     reconstruct_kodak.main(argv)
 
 

@@ -12,12 +12,16 @@ import sys
 
 
 def test_micro_campaign(tmp_path):
+    # --gammas excludes 10000 on purpose: the fixed-bw (1.0, 10000)
+    # sweep model must still be trained (it feeds the stats collection,
+    # the params export and the multiplier sweep unconditionally);
+    # this used to crash with FileNotFoundError after training.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, AEIC_PLATFORM="cpu")
     env.pop("XLA_FLAGS", None)  # no need for 8 virtual devices here
     result = subprocess.run(
         [sys.executable, os.path.join(repo_root, "scripts", "rd_campaign.py"),
-         "--smoke", "--gammas", "10000",
+         "--smoke", "--gammas", "12000",
          "--data_root", str(tmp_path / "data"),
          "--results_root", str(tmp_path / "results"),
          "--out", str(tmp_path / "out")],
@@ -29,8 +33,44 @@ def test_micro_campaign(tmp_path):
     # were evaluated and cached.
     cached = list(out.glob("*.npy"))
     assert len(cached) >= 6, (cached, result.stdout)
-    # Trained params-only artifacts exported for both sweep models.
-    assert (tmp_path / "results" / "learning_bw" / "0dot5_10000"
-            / "params_trained.npz").is_file()
-    assert (tmp_path / "results" / "fixed_bw" / "1_10000"
-            / "params_trained.npz").is_file()
+    # Trained params-only artifacts exported for both sweep models,
+    # step-stamped consistently with the coding-statistics marker.
+    import json
+
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        params_artifact_step)
+
+    for exp in ("learning_bw/0dot5_10000", "fixed_bw/1_10000"):
+        artifact = tmp_path / "results" / exp / "params_trained.npz"
+        assert artifact.is_file()
+        step = params_artifact_step(str(artifact))
+        assert step is not None and step > 0
+        marker = tmp_path / "results" / exp / "statistics" / "stats_model_idx.json"
+        assert json.loads(marker.read_text())["step"] == step
+
+
+def test_build_data_regenerates_stale_stacks(tmp_path):
+    """A smoke-sized stack left in --data_root must not be silently
+    reused by a full-config run (shape validation regenerates it)."""
+    import numpy
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.rd_campaign import build_data
+
+    root = str(tmp_path / "data")
+    build_data(root, 4, 2, 2, 64, (2, 128, 192))
+    assert numpy.load(os.path.join(root, "training_data.npy")).shape == (4, 64, 64, 1)
+    build_data(root, 6, 2, 2, 32, (2, 64, 96))
+    assert numpy.load(os.path.join(root, "training_data.npy")).shape == (6, 32, 32, 1)
+    assert numpy.load(os.path.join(root, "kodak.npy")).shape == (2, 64, 96)
+
+
+def test_reconstruct_kodak_ladder_flags():
+    """Bare anchor-ladder flags mean 'default ladder'; explicit JPEG2000
+    values require naming the backend (their semantics differ)."""
+    import pytest
+
+    from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
+
+    with pytest.raises(SystemExit):
+        reconstruct_kodak.main(["--jpeg2000_ladder", "24", "26", "28", "30"])

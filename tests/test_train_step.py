@@ -143,6 +143,15 @@ def test_params_artifact_roundtrip():
         numpy.testing.assert_array_equal(numpy.asarray(bin_widths),
                                          numpy.asarray(state.bin_widths))
 
+        from autoencoder_based_image_compression_tpu.train.checkpoint import (
+            params_artifact_step)
+
+        assert params_artifact_step(path) is None  # step not stamped
+        save_params_artifact(path, state.params, state.bin_widths, step=6990)
+        assert params_artifact_step(path) == 6990
+        (params2, _) = load_params_artifact(path)
+        assert set(params2) == set(state.params)  # step key not a param
+
 
 def test_checkpoint_rename_fails_loudly():
     """Leaves are keyed by tree path: a same-shape key rename must raise,
