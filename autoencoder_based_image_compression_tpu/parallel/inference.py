@@ -113,19 +113,29 @@ class PipelinedCompressor:
         self.batch_size = batch_size
         (_, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
 
-        def _encode_symbols(params, batch, bin_widths, map_mean):
-            # Centering by the extra-set map means and quantization run
-            # on device; the host fetches int16 symbols - the coder's
-            # native dtype and HALF the bytes of the fp32 latents (the
-            # host link is the scarce resource in serving). The fp32
-            # magnitude check mirrors cast_float_to_int16's guard.
-            y = conv_eae.encode(params, batch, learn_bin_widths)
+        def _encode_symbols(params, batch_uint8, bin_widths, map_mean):
+            # The uint8->float cast runs on device (uploading uint8 is a
+            # quarter of the fp32 bytes), centering by the extra-set map
+            # means and quantization run on device too; the host fetches
+            # int16 symbols - the coder's native dtype and HALF the
+            # bytes of the fp32 latents (the host link is the scarce
+            # resource in serving). The fp32 magnitude check mirrors
+            # cast_float_to_int16's guard.
+            y = conv_eae.encode(params, batch_uint8.astype(jnp.float32),
+                                learn_bin_widths)
             sym = jnp.round((y - map_mean) / bin_widths)
             return (sym.astype(jnp.int16), jnp.max(jnp.abs(sym)))
 
         def _decode_symbols(params, symbols, bin_widths, map_mean):
             quantized = symbols.astype(jnp.float32) * bin_widths + map_mean
-            return conv_eae.decode(params, quantized, learn_bin_widths)
+            reconstruction = conv_eae.decode(params, quantized, learn_bin_widths)
+            # BT.601 clip/round/uint8 on device: the codec's output
+            # domain anyway (reference eae/batching.py:11-54), and a
+            # quarter of the fp32 fetch bytes.
+            from autoencoder_based_image_compression_tpu.ops.quantization import (
+                cast_bt601)
+
+            return cast_bt601(reconstruction)
 
         self.encode_symbols_fn = jax.jit(_encode_symbols)
         self.decode_symbols_fn = jax.jit(_decode_symbols)
@@ -148,13 +158,14 @@ class PipelinedCompressor:
         return int(bits.sum())
 
     def __call__(self, images_uint8):
-        """Returns (reconstructions_f32, nb_bits_per_image).
+        """Returns (reconstructions_uint8, nb_bits_per_image).
 
         Latent centering by the extra-set map means before quantization
         and the re-add before decode follow
         ``reconstructing_eae_kodak.py:170-213``; here both run inside
         the device dispatches, and the decoder consumes the
-        device-resident symbols (no host re-upload).
+        device-resident symbols (no host re-upload). Reconstructions
+        come back BT.601-cast uint8 (the codec's output domain).
         """
         import concurrent.futures
 
@@ -165,7 +176,7 @@ class PipelinedCompressor:
             coding_futures = []
             for start in range(0, nb, self.batch_size):
                 batch = self.put(jnp.asarray(
-                    images_uint8[start:start + self.batch_size].astype(numpy.float32)))
+                    images_uint8[start:start + self.batch_size]))
                 (symbols, batch_max) = self.encode_symbols_fn(
                     self.params, batch, self.bin_widths, self.map_mean)
                 # Decode dispatches on the device-resident symbols before

@@ -48,13 +48,17 @@ def decode_mini_batches(quantized_y_float32, params, learn_bin_widths, batch_siz
     to the BT.601 range and cast to uint8.
     """
     nb_batches = subdivide_set(quantized_y_float32.shape[0], batch_size)
-    decode_jit = jax.jit(functools.partial(conv_eae.decode,
-                                           learn_bin_widths=learn_bin_widths))
+
+    def _decode_cast(params, batch):
+        # BT.601 cast on device: fetching uint8 is a quarter of the
+        # fp32 bytes (and bit-identical to the host-side cast).
+        return cast_bt601(conv_eae.decode(params, batch, learn_bin_widths))
+
+    decode_jit = jax.jit(_decode_cast)
     chunks = []
     for i in range(nb_batches):
         batch = jnp.asarray(quantized_y_float32[i * batch_size:(i + 1) * batch_size])
-        reconstruction = decode_jit(params, batch)
-        chunks.append(cast_bt601(numpy.asarray(reconstruction)))
+        chunks.append(numpy.asarray(decode_jit(params, batch)))
     return numpy.concatenate(chunks, axis=0)
 
 

@@ -55,9 +55,8 @@ def test_pipelined_compressor_end_to_end(tmp_path):
     y = encode_mini_batches(test_images, params, True, batch_size=4)
     centered_q = numpy.asarray(quantize_per_map(y - map_mean, bin_widths))
     expected = decode_mini_batches(centered_q + map_mean, params, True, 4)
-    from autoencoder_based_image_compression_tpu.ops.quantization import cast_bt601
-
-    numpy.testing.assert_array_equal(cast_bt601(reconstructions), expected)
+    assert reconstructions.dtype == numpy.uint8  # device-side BT.601 cast
+    numpy.testing.assert_array_equal(reconstructions, expected)
 
 
 def test_device_symbols_match_reference_host_quantization():
@@ -80,7 +79,7 @@ def test_device_symbols_match_reference_host_quantization():
         params, bin_widths, True, numpy.full((128, 10), 0.5), map_mean,
         batch_size=2)
     (symbols_dev, max_abs) = compressor.encode_symbols_fn(
-        params, jnp.asarray(images.astype(numpy.float32)),
+        params, jnp.asarray(images),
         compressor.bin_widths, compressor.map_mean)
     symbols_dev = numpy.asarray(symbols_dev)
     assert symbols_dev.dtype == numpy.int16
