@@ -57,9 +57,9 @@ def compress_lossless_maps(ref_int16, binary_probabilities, idx_map_exception=-1
     if coded_rows:
         (rec_rows, bits_rows) = native.compress_lossless_batch(
             symbols[coded_rows], binary_probabilities[coded_rows], nb_threads)
-        for (row, i) in enumerate(coded_rows):
-            rec_int16[:, :, i] = rec_rows[row].reshape(height_map, width_map)
-            nb_bits_each_map[i] = bits_rows[row]
+        rec_int16[:, :, coded_rows] = numpy.moveaxis(
+            rec_rows.reshape(len(coded_rows), height_map, width_map), 0, 2)
+        nb_bits_each_map[coded_rows] = bits_rows
 
     if 0 <= idx_map_exception < nb_maps:
         cumulated_entropy = height_map * width_map * discrete_entropy(
