@@ -97,11 +97,31 @@ class PipelinedCompressor:
     """
 
     def __init__(self, params, bin_widths, learn_bin_widths, binary_probabilities,
-                 map_mean, idx_map_exception=-1, mesh=None, batch_size=4):
+                 map_mean, idx_map_exception=-1, mesh=None, batch_size=4,
+                 fast_path=None):
+        """``fast_path``: None runs the fp32 parity transforms; "bf16w"
+        or "int8" runs the serving engine's low-precision transforms
+        (``engine.quantized``; bf16 activations, bf16-rounded or
+        int8-stored kernels). Learned-bin-width architecture only -
+        the measured fidelity of both variants vs fp32 is recorded in
+        BASELINE.md (bf16w is the parity-safe serving default).
+        """
         from autoencoder_based_image_compression_tpu.coding.compression import (
             compress_lossless_maps)
 
         self._compress_maps = compress_lossless_maps
+        if fast_path is not None:
+            if not learn_bin_widths:
+                raise ValueError(
+                    "fast_path requires the learned-bin-width architecture.")
+            from autoencoder_based_image_compression_tpu.engine import (
+                quantized as engine)
+
+            params = (engine.quantize_params_int8(params)
+                      if fast_path == "int8"
+                      else engine.bf16_weight_params(params))
+            self._engine = engine
+        self.fast_path = fast_path
         self.params = params
         self.bin_widths = jnp.asarray(bin_widths, jnp.float32)
         self.learn_bin_widths = learn_bin_widths
@@ -121,14 +141,25 @@ class PipelinedCompressor:
             # bytes of the fp32 latents (the host link is the scarce
             # resource in serving). The fp32 magnitude check mirrors
             # cast_float_to_int16's guard.
-            y = conv_eae.encode(params, batch_uint8.astype(jnp.float32),
-                                learn_bin_widths)
+            batch = batch_uint8.astype(jnp.float32)
+            if fast_path is not None:
+                y = self._engine.fast_encode(params, batch,
+                                             learn_bin_widths=True)
+            else:
+                y = conv_eae.encode(params, batch, learn_bin_widths)
             sym = jnp.round((y - map_mean) / bin_widths)
             return (sym.astype(jnp.int16), jnp.max(jnp.abs(sym)))
 
         def _decode_symbols(params, symbols, bin_widths, map_mean):
             quantized = symbols.astype(jnp.float32) * bin_widths + map_mean
-            reconstruction = conv_eae.decode(params, quantized, learn_bin_widths)
+            if fast_path is not None:
+                # fast_decode with UNFOLDED params consumes the
+                # dequantized mean-restored latents directly (the fold
+                # cannot absorb the +map_mean shift).
+                reconstruction = self._engine.fast_decode(params, quantized)
+            else:
+                reconstruction = conv_eae.decode(params, quantized,
+                                                 learn_bin_widths)
             # BT.601 clip/round/uint8 on device: the codec's output
             # domain anyway (reference eae/batching.py:11-54), and a
             # quarter of the fp32 fetch bytes.

@@ -242,6 +242,7 @@ def main():
     # bits, bit-exact round trip asserted per image), so it bounds the
     # deployable true-rate throughput, coder-side included.
     coded_mpix = None
+    coded_fast_mpix = None
     stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
 
     def _stats_match_artifact():
@@ -287,6 +288,15 @@ def main():
             idx_exc, batch_size=8)
         coded_seconds = _timeit(lambda: compressor(images), repeats=3)
         coded_mpix = nb_pixels / coded_seconds / 1.0e6
+        # Same pipeline on the bf16w serving transforms (the headline
+        # fast path feeding real bitstreams).
+        compressor_fast = PipelinedCompressor(
+            params, bin_widths, learn_bin_widths,
+            os.path.join(stats_dir, "binary_probabilities_1.npy"),
+            numpy.load(os.path.join(stats_dir, "map_mean.npy")),
+            idx_exc, batch_size=8, fast_path="bf16w")
+        coded_fast_seconds = _timeit(lambda: compressor_fast(images), repeats=3)
+        coded_fast_mpix = nb_pixels / coded_fast_seconds / 1.0e6
 
     print(json.dumps({
         "metric": "kodak24_encode_decode_throughput",
@@ -301,6 +311,9 @@ def main():
                                  for (tag, v) in fidelity.items()},
         "psnr_delta_vs_fp32_db": {tag: round(float(v), 4)
                                   for (tag, v) in psnr_delta.items()},
+        "true_bitstream_fast_mpix_per_s": (round(coded_fast_mpix, 3)
+                                           if coded_fast_mpix is not None
+                                           else None),
         "true_bitstream_mpix_per_s": (round(coded_mpix, 3)
                                       if coded_mpix is not None else None),
         "weights": weights_kind,

@@ -91,3 +91,63 @@ def test_device_symbols_match_reference_host_quantization():
         cast_float_to_int16(centered_q[i] / bin_widths.reshape(1, 1, -1))
         for i in range(centered_q.shape[0])])
     numpy.testing.assert_array_equal(symbols_dev, expected)
+
+
+def test_pipelined_compressor_fast_path_matches_parity_path():
+    """bf16w serving path through the true-bitstream pipeline: real
+    coded bits, reconstructions near the fp32 parity path (TRAINED
+    weights - low-precision fidelity is distribution-dependent)."""
+    import os
+    import pickle
+
+    from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
+    from autoencoder_based_image_compression_tpu.parallel.inference import (
+        PipelinedCompressor)
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        load_params_artifact)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exp_dir = os.path.join(repo, "results", "eae", "learning_bw", "0dot5_10000")
+    (params, bin_widths) = load_params_artifact(
+        os.path.join(exp_dir, "params_trained.npz"))
+    stats_dir = os.path.join(exp_dir, "statistics")
+    map_mean = numpy.load(os.path.join(stats_dir, "map_mean.npy"))
+    probabilities = numpy.load(
+        os.path.join(stats_dir, "binary_probabilities_1.npy"))
+    with open(os.path.join(stats_dir, "idx_map_exception.pkl"), "rb") as file:
+        idx_exc = pickle.load(file)
+
+    from autoencoder_based_image_compression_tpu.data.synthetic import (
+        synthetic_luminance_stack)
+
+    images = synthetic_luminance_stack(2, 64, 96, seed=7)
+
+    kwargs = dict(idx_map_exception=idx_exc, batch_size=2)
+    (recs_fp32, bits_fp32) = PipelinedCompressor(
+        params, bin_widths, True, probabilities, map_mean, **kwargs)(images)
+    (recs_fast, bits_fast) = PipelinedCompressor(
+        params, bin_widths, True, probabilities, map_mean,
+        fast_path="bf16w", **kwargs)(images)
+
+    assert recs_fast.shape == recs_fp32.shape and recs_fast.dtype == numpy.uint8
+    assert numpy.all(bits_fast > 0)
+    # Rate within a few percent, reconstructions tens of dB apart at
+    # most (bf16 symbol flips are ~0.6% on the trained model).
+    assert abs(int(bits_fast.sum()) - int(bits_fp32.sum())) <= \
+        0.05 * int(bits_fp32.sum())
+    for i in range(images.shape[0]):
+        assert psnr_2d(recs_fp32[i, :, :, 0], recs_fast[i, :, :, 0]) > 30.0
+
+
+def test_pipelined_compressor_fast_path_rejects_fixed_bw():
+    import pytest
+
+    from autoencoder_based_image_compression_tpu.parallel.inference import (
+        PipelinedCompressor)
+
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0), False)
+    with pytest.raises(ValueError):
+        PipelinedCompressor(params, numpy.ones(128, numpy.float32), False,
+                            numpy.full((128, 10), 0.5),
+                            numpy.zeros(128, numpy.float32),
+                            fast_path="bf16w")
