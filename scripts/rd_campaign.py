@@ -119,6 +119,45 @@ def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_si
           f"{time.time() - t0:.1f} s")
 
 
+def train_ladder_part(results_root, paths, gammas, nb_epochs, batch_size,
+                      idx_part):
+    """One part of the whole fixed-bw ladder in ONE vmapped program.
+
+    Falls back to per-model training when the ladder is in a mixed
+    resume state (some gammas already have this part's checkpoint)."""
+    from autoencoder_based_image_compression_tpu.cli import train_ladder
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        checkpoint_exists)
+    from autoencoder_based_image_compression_tpu.utils.naming import (
+        experiment_suffix)
+
+    missing = [g for g in gammas if not checkpoint_exists(
+        os.path.join(results_root, experiment_suffix(1.0, g, False),
+                     f"model_{idx_part + 1}"))]
+    if not missing:
+        print(f"[campaign] ladder: part {idx_part} exists for all gammas, "
+              "skipping")
+        return
+    if len(missing) != len(gammas):
+        print(f"[campaign] ladder: mixed resume state (missing {missing}); "
+              "training the missing models individually")
+        for gamma in missing:
+            train_one(results_root, paths, 1.0, gamma, False, nb_epochs,
+                      batch_size, idx_part)
+        return
+    t0 = time.time()
+    train_ladder.main([
+        "1.0", str(idx_part),
+        "--gammas"] + [str(g) for g in gammas] + [
+        "--nb_epochs_training", str(nb_epochs),
+        "--batch_size", str(batch_size),
+        "--path_to_training_data", paths["training"],
+        "--path_to_validation_data", paths["validation"],
+        "--results_root", results_root])
+    print(f"[campaign] ladder: part {idx_part} ({len(gammas)} models, one "
+          f"vmapped program) trained in {time.time() - t0:.1f} s")
+
+
 def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
     """Extra-set statistics for model_{idx_model} (re-collected whenever
     the model index advances - the reference regenerates them for any
@@ -193,6 +232,10 @@ def main():
     parser.add_argument("--gammas", type=float, nargs="*", default=None,
                         help="subset of the gamma ladder to train "
                              f"(default: all of {GAMMAS_VARY})")
+    parser.add_argument("--ladder_vmap", action="store_true",
+                        help="train the whole fixed-bw gamma family in ONE "
+                             "vmapped program per part (cli.train_ladder) "
+                             "instead of sequential per-gamma runs")
     args = parser.parse_args()
     gammas = GAMMAS_VARY if args.gammas is None else args.gammas
 
@@ -218,9 +261,13 @@ def main():
     if 10000.0 not in gammas_trained:
         gammas_trained.append(10000.0)
     for idx_part in range(args.nb_parts):
-        for gamma in gammas_trained:
-            train_one(args.results_root, paths, 1.0, gamma, False,
-                      args.nb_epochs, args.batch_size, idx_part)
+        if args.ladder_vmap:
+            train_ladder_part(args.results_root, paths, gammas_trained,
+                              args.nb_epochs, args.batch_size, idx_part)
+        else:
+            for gamma in gammas_trained:
+                train_one(args.results_root, paths, 1.0, gamma, False,
+                          args.nb_epochs, args.batch_size, idx_part)
         train_one(args.results_root, paths, 0.5, 10000.0, True,
                   args.nb_epochs, args.batch_size, idx_part)
 

@@ -74,3 +74,25 @@ def test_reconstruct_kodak_ladder_flags():
 
     with pytest.raises(SystemExit):
         reconstruct_kodak.main(["--jpeg2000_ladder", "24", "26", "28", "30"])
+
+
+def test_micro_campaign_ladder_vmap(tmp_path):
+    """Same micro campaign driven through the vmapped whole-ladder
+    trainer (one program trains every fixed-bw gamma simultaneously)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, AEIC_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo_root, "scripts", "rd_campaign.py"),
+         "--smoke", "--gammas", "10000", "12000", "--ladder_vmap",
+         "--data_root", str(tmp_path / "data"),
+         "--results_root", str(tmp_path / "results"),
+         "--out", str(tmp_path / "out")],
+        cwd=repo_root, env=env, capture_output=True, text=True, timeout=900)
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "one vmapped program" in result.stdout, result.stdout
+    assert (tmp_path / "out" / "rate_distortion.png").is_file(), result.stdout
+    # Ladder-trained checkpoints feed the standard pipeline.
+    for gamma_dir in ("1_10000", "1_12000"):
+        assert (tmp_path / "results" / "fixed_bw" / gamma_dir
+                / "model_1.npz").is_file()
