@@ -22,6 +22,7 @@ from autoencoder_based_image_compression_tpu import constants as csts
 from autoencoder_based_image_compression_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
+    mark_checkpoint_complete,
     save_checkpoint,
 )
 from autoencoder_based_image_compression_tpu.train.loop import (
@@ -196,6 +197,7 @@ def main(args=None):
               f"({nb_batches / epoch_seconds:.2f} steps/s, "
               f"{pixels / epoch_seconds / 1e6:.2f} Mpix/s)")
         save_checkpoint(path_next, state, allow_overwrite=True)
+    mark_checkpoint_complete(path_next)
     # Training-curve artifacts (reference training_eae_imagenet.py:259-326).
     if args.nb_epochs_training > 1:
         from autoencoder_based_image_compression_tpu.eval.visualization import (

@@ -21,10 +21,10 @@ import time
 import jax
 import numpy
 
-from autoencoder_based_image_compression_tpu import constants as csts
 from autoencoder_based_image_compression_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
+    mark_checkpoint_complete,
     save_checkpoint,
 )
 from autoencoder_based_image_compression_tpu.train.ladder import (
@@ -152,6 +152,8 @@ def main(args=None):
         for (k, (gamma, path)) in enumerate(zip(gammas, paths_next)):
             save_checkpoint(path, ladder_slice_state(ladder, k, gamma),
                             allow_overwrite=True)
+    for path in paths_next:
+        mark_checkpoint_complete(path)
     elapsed = time.time() - t_start
     print(f"ladder part {args.idx_training} ({len(gammas)} models) done in "
           f"{int(elapsed // 3600)}h {int((elapsed % 3600) // 60)}m")

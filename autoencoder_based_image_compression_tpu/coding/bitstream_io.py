@@ -120,8 +120,17 @@ def write_compressed_latents(path, centered_quantized, bin_widths, map_mean,
     map_mean = numpy.asarray(map_mean, numpy.float32)
     probs = numpy.asarray(binary_probabilities, numpy.float64)
     tu_len = probs.shape[1]
-    symbols = numpy.round(
-        centered_quantized / bin_widths.reshape(1, 1, -1)).astype(numpy.int16)
+    # cast_float_to_int16 raises when a symbol magnitude exceeds the
+    # int16 range - astype would WRAP silently, and wrapped symbols
+    # still round-trip "losslessly" through the coder, producing a
+    # well-formed bitstream that decodes to garbage (same guard as the
+    # reference's tools.py:95-155 and PipelinedCompressor's max-abs
+    # check).
+    from autoencoder_based_image_compression_tpu.ops.quantization import (
+        cast_float_to_int16)
+
+    symbols = cast_float_to_int16(
+        centered_quantized / bin_widths.reshape(1, 1, -1))
 
     chunks = [
         _MAGIC, struct.pack("<IHHHBBh", _VERSION, height_map, width_map, nb_maps,

@@ -111,6 +111,10 @@ class PipelinedCompressor:
 
         self._compress_maps = compress_lossless_maps
         if fast_path is not None:
+            if fast_path not in ("bf16w", "int8"):
+                raise ValueError(
+                    f"unknown fast_path {fast_path!r} (use 'bf16w', 'int8' "
+                    "or None).")
             if not learn_bin_widths:
                 raise ValueError(
                     "fast_path requires the learned-bin-width architecture.")

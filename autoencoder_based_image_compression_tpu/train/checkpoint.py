@@ -46,6 +46,9 @@ def save_checkpoint(path, state, allow_overwrite=False):
         "nb_leaves": len(arrays),
         "step": int(numpy.asarray(state.step)),
         "nb_itvs_per_side": int(numpy.asarray(state.density.nb_itvs_per_side)),
+        # Per-epoch saves are intermediate until the training part
+        # finishes and calls mark_checkpoint_complete.
+        "part_complete": False,
     }
     with open(path + ".json", "w") as file:
         json.dump(meta, file, indent=2)
@@ -83,6 +86,34 @@ def load_checkpoint(path, template):
 def checkpoint_exists(path):
     """True when ``<path>.npz`` is on disk."""
     return os.path.isfile(path + ".npz")
+
+
+def mark_checkpoint_complete(path):
+    """Stamps ``<path>.json`` as the END of a finished training part.
+
+    The training CLIs save a checkpoint after every epoch (so a crash
+    loses at most one epoch), which means mere existence cannot
+    distinguish a finished part from an interrupted one; resumable
+    drivers check :func:`checkpoint_part_complete` before skipping."""
+    meta_path = path + ".json"
+    with open(meta_path) as file:
+        meta = json.load(file)
+    meta["part_complete"] = True
+    with open(meta_path, "w") as file:
+        json.dump(meta, file, indent=2)
+
+
+def checkpoint_part_complete(path):
+    """True when the part that produced ``<path>`` ran to completion.
+
+    Checkpoints from before the completion stamp existed carry no key
+    and are treated as complete (they predate per-epoch saving drivers
+    relying on this)."""
+    meta_path = path + ".json"
+    if not os.path.isfile(meta_path):
+        return True
+    with open(meta_path) as file:
+        return bool(json.load(file).get("part_complete", True))
 
 
 def save_params_artifact(path_npz, params, bin_widths, step=None):

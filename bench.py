@@ -281,19 +281,18 @@ def main():
 
         with open(os.path.join(stats_dir, "idx_map_exception.pkl"), "rb") as f:
             idx_exc = pickle.load(f)
+        probabilities = numpy.load(
+            os.path.join(stats_dir, "binary_probabilities_1.npy"))
+        map_mean = numpy.load(os.path.join(stats_dir, "map_mean.npy"))
         compressor = PipelinedCompressor(
-            params, bin_widths, learn_bin_widths,
-            os.path.join(stats_dir, "binary_probabilities_1.npy"),
-            numpy.load(os.path.join(stats_dir, "map_mean.npy")),
+            params, bin_widths, learn_bin_widths, probabilities, map_mean,
             idx_exc, batch_size=8)
         coded_seconds = _timeit(lambda: compressor(images), repeats=3)
         coded_mpix = nb_pixels / coded_seconds / 1.0e6
         # Same pipeline on the bf16w serving transforms (the headline
         # fast path feeding real bitstreams).
         compressor_fast = PipelinedCompressor(
-            params, bin_widths, learn_bin_widths,
-            os.path.join(stats_dir, "binary_probabilities_1.npy"),
-            numpy.load(os.path.join(stats_dir, "map_mean.npy")),
+            params, bin_widths, learn_bin_widths, probabilities, map_mean,
             idx_exc, batch_size=8, fast_path="bf16w")
         coded_fast_seconds = _timeit(lambda: compressor_fast(images), repeats=3)
         coded_fast_mpix = nb_pixels / coded_fast_seconds / 1.0e6

@@ -90,18 +90,36 @@ def build_data(root, nb_training, nb_validation, nb_extra, crop, kodak_shape):
     return paths
 
 
+def _part_done(path):
+    """Finished-part check: the checkpoint exists AND its part ran to
+    completion (the CLIs save per epoch, so existence alone would
+    accept an interrupted part's last epoch as a trained model)."""
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        checkpoint_exists,
+        checkpoint_part_complete,
+    )
+
+    if not checkpoint_exists(path):
+        return False
+    if checkpoint_part_complete(path):
+        return True
+    print(f"[campaign] {path}: interrupted part detected; retraining it")
+    for ext in (".npz", ".json"):
+        if os.path.isfile(path + ext):
+            os.remove(path + ext)
+    return False
+
+
 def train_one(results_root, paths, bw_init, gamma, learn_bw, nb_epochs, batch_size,
               idx_part=0):
     """One resumable training part (skipped if its checkpoint exists)."""
     from autoencoder_based_image_compression_tpu.cli import train_eae
-    from autoencoder_based_image_compression_tpu.train.checkpoint import (
-        checkpoint_exists)
     from autoencoder_based_image_compression_tpu.utils.naming import (
         experiment_suffix)
 
     suffix = experiment_suffix(bw_init, gamma, learn_bw)
-    if checkpoint_exists(os.path.join(results_root, suffix,
-                                      f"model_{idx_part + 1}")):
+    if _part_done(os.path.join(results_root, suffix,
+                               f"model_{idx_part + 1}")):
         print(f"[campaign] {suffix}: model_{idx_part + 1} exists, "
               "skipping training")
         return
@@ -126,12 +144,10 @@ def train_ladder_part(results_root, paths, gammas, nb_epochs, batch_size,
     Falls back to per-model training when the ladder is in a mixed
     resume state (some gammas already have this part's checkpoint)."""
     from autoencoder_based_image_compression_tpu.cli import train_ladder
-    from autoencoder_based_image_compression_tpu.train.checkpoint import (
-        checkpoint_exists)
     from autoencoder_based_image_compression_tpu.utils.naming import (
         experiment_suffix)
 
-    missing = [g for g in gammas if not checkpoint_exists(
+    missing = [g for g in gammas if not _part_done(
         os.path.join(results_root, experiment_suffix(1.0, g, False),
                      f"model_{idx_part + 1}"))]
     if not missing:
@@ -237,6 +253,11 @@ def main():
                              "vmapped program per part (cli.train_ladder) "
                              "instead of sequential per-gamma runs")
     args = parser.parse_args()
+    if args.jpeg2000_ladder and args.jpeg2000_backend == "auto":
+        # reconstruct_kodak rejects this combination; fail BEFORE the
+        # training budget is spent, not after.
+        parser.error("--jpeg2000_ladder values are backend-specific; pass an "
+                     "explicit --jpeg2000_backend with them.")
     gammas = GAMMAS_VARY if args.gammas is None else args.gammas
 
     crop = 256

@@ -125,18 +125,26 @@ def test_pipelined_compressor_fast_path_matches_parity_path():
     kwargs = dict(idx_map_exception=idx_exc, batch_size=2)
     (recs_fp32, bits_fp32) = PipelinedCompressor(
         params, bin_widths, True, probabilities, map_mean, **kwargs)(images)
-    (recs_fast, bits_fast) = PipelinedCompressor(
-        params, bin_widths, True, probabilities, map_mean,
-        fast_path="bf16w", **kwargs)(images)
+    # Both low-precision variants; int8 rounds harder than bf16w, so
+    # its fidelity bound is looser (BASELINE.md tabulates both).
+    for (variant, min_psnr) in [("bf16w", 30.0), ("int8", 25.0)]:
+        (recs_fast, bits_fast) = PipelinedCompressor(
+            params, bin_widths, True, probabilities, map_mean,
+            fast_path=variant, **kwargs)(images)
+        assert recs_fast.shape == recs_fp32.shape
+        assert recs_fast.dtype == numpy.uint8
+        assert numpy.all(bits_fast > 0)
+        assert abs(int(bits_fast.sum()) - int(bits_fp32.sum())) <= \
+            0.08 * int(bits_fp32.sum()), variant
+        for i in range(images.shape[0]):
+            assert psnr_2d(recs_fp32[i, :, :, 0],
+                           recs_fast[i, :, :, 0]) > min_psnr, variant
 
-    assert recs_fast.shape == recs_fp32.shape and recs_fast.dtype == numpy.uint8
-    assert numpy.all(bits_fast > 0)
-    # Rate within a few percent, reconstructions tens of dB apart at
-    # most (bf16 symbol flips are ~0.6% on the trained model).
-    assert abs(int(bits_fast.sum()) - int(bits_fp32.sum())) <= \
-        0.05 * int(bits_fp32.sum())
-    for i in range(images.shape[0]):
-        assert psnr_2d(recs_fp32[i, :, :, 0], recs_fast[i, :, :, 0]) > 30.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        PipelinedCompressor(params, bin_widths, True, probabilities, map_mean,
+                            fast_path="bf16", **kwargs)
 
 
 def test_pipelined_compressor_fast_path_rejects_fixed_bw():

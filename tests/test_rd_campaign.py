@@ -96,3 +96,29 @@ def test_micro_campaign_ladder_vmap(tmp_path):
     for gamma_dir in ("1_10000", "1_12000"):
         assert (tmp_path / "results" / "fixed_bw" / gamma_dir
                 / "model_1.npz").is_file()
+
+
+def test_part_done_rejects_interrupted_checkpoints(tmp_path):
+    """Per-epoch saves are intermediate; only a completion-stamped
+    checkpoint counts as a trained part (an interrupted part is removed
+    and retrained instead of silently feeding the RD study)."""
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.rd_campaign import _part_done
+
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        mark_checkpoint_complete,
+        save_checkpoint,
+    )
+    from autoencoder_based_image_compression_tpu.train.state import (
+        init_train_state)
+
+    state = init_train_state(jax.random.PRNGKey(0), 10000.0, 1.0, False)
+    path = str(tmp_path / "model_1")
+    save_checkpoint(path, state)
+    assert not _part_done(path)              # interrupted: removed...
+    assert not os.path.isfile(path + ".npz")
+    save_checkpoint(path, state)
+    mark_checkpoint_complete(path)
+    assert _part_done(path)                  # ...finished: accepted
