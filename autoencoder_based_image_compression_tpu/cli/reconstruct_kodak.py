@@ -100,9 +100,15 @@ def main(args=None):
     if not args.jpeg2000_ladder:
         args.jpeg2000_ladder = None
     elif args.jpeg2000_backend == "auto":
-        parser.error("--jpeg2000_ladder values are backend-specific "
-                     "(ImageMagick qualities vs Pillow compression ratios); "
-                     "pass an explicit --jpeg2000_backend with them.")
+        # Explicit values are backend-specific (ImageMagick -quality vs
+        # Pillow compression ratios); 'auto' must not reinterpret them
+        # depending on what is installed, so they pin the Pillow
+        # backend unless one was named.
+        print("--jpeg2000_ladder given without --jpeg2000_backend: "
+              "interpreting the values as Pillow/OpenJPEG compression "
+              "ratios (pass --jpeg2000_backend imagemagick for -quality "
+              "semantics).")
+        args.jpeg2000_backend = "pillow"
 
     images = numpy.load(args.path_to_bsds if args.use_bsds else args.path_to_kodak)
 

@@ -254,10 +254,9 @@ def main():
                              "instead of sequential per-gamma runs")
     args = parser.parse_args()
     if args.jpeg2000_ladder and args.jpeg2000_backend == "auto":
-        # reconstruct_kodak rejects this combination; fail BEFORE the
-        # training budget is spent, not after.
-        parser.error("--jpeg2000_ladder values are backend-specific; pass an "
-                     "explicit --jpeg2000_backend with them.")
+        # Explicit ladder values are backend-specific; pin Pillow
+        # semantics up front (same normalization as reconstruct_kodak).
+        args.jpeg2000_backend = "pillow"
     gammas = GAMMAS_VARY if args.gammas is None else args.gammas
 
     crop = 256

@@ -65,15 +65,25 @@ def test_build_data_regenerates_stale_stacks(tmp_path):
     assert numpy.load(os.path.join(root, "kodak.npy")).shape == (2, 64, 96)
 
 
-def test_reconstruct_kodak_ladder_flags():
-    """Bare anchor-ladder flags mean 'default ladder'; explicit JPEG2000
-    values require naming the backend (their semantics differ)."""
-    import pytest
+def test_reconstruct_kodak_ladder_flags(tmp_path, capsys):
+    """Bare anchor-ladder flags mean 'default ladder', and explicit
+    JPEG2000 values pin the Pillow backend when none is named (their
+    semantics differ per backend, so 'auto' must not reinterpret
+    them)."""
+    import numpy
 
     from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
 
-    with pytest.raises(SystemExit):
-        reconstruct_kodak.main(["--jpeg2000_ladder", "24", "26", "28", "30"])
+    kodak = str(tmp_path / "kodak.npy")
+    numpy.save(kodak, numpy.zeros((0, 32, 32), numpy.uint8))
+    reconstruct_kodak.main(["--jpeg2000_ladder", "24", "26", "28", "30",
+                            "--path_to_kodak", kodak,
+                            "--results_root", str(tmp_path / "none"),
+                            "--cache_dir", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert "Pillow/OpenJPEG compression" in out
+    # Only the (empty-stack) JPEG2000 anchor ran - no model curves.
+    assert "1 RD curves written" in out
 
 
 def test_micro_campaign_ladder_vmap(tmp_path):
