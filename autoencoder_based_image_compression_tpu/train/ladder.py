@@ -147,6 +147,25 @@ def make_ladder_step_fns(gammas, ppi=csts.NB_POINTS_PER_INTERVAL,
     }
 
 
+def shard_ladder_state(ladder_states, mesh, axis="data"):
+    """Shards the ladder (leading) axis of every leaf over a mesh axis.
+
+    Model-parallel-over-gammas: each device trains its own subset of the
+    ladder with ZERO cross-device communication (the models are
+    independent), so the study scales near-linearly with devices - the
+    distribution axis the reference's sequential per-gamma runs cannot
+    express. The number of ladder entries must divide the mesh axis
+    size evenly (pad the gamma list otherwise). The jitted ladder step
+    functions consume the sharded state as-is: GSPMD partitions the
+    vmapped program along the ladder axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, sharding), ladder_states)
+
+
 def make_ladder_eval_fn(gammas, ppi=csts.NB_POINTS_PER_INTERVAL,
                         max_itvs=csts.MAX_ITVS_PER_SIDE):
     """Per-model training indicators on a shared eval batch.

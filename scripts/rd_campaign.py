@@ -197,6 +197,20 @@ def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
             print(f"[campaign] {suffix}: statistics for model_{idx_model} "
                   "exist, skipping")
             return
+    # Stale statistics (an earlier model's) must be deleted before the
+    # recollection: cs.main keeps the reference's file-existence guard
+    # ("Delete them manually to recompute them",
+    # collecting_stats_eae_extra.py / lossless/stats.py:294-297) and
+    # would silently skip, leaving the marker claiming a model the
+    # files do not come from.
+    if os.path.isdir(stats_dir):
+        import glob
+
+        for stale in (glob.glob(os.path.join(stats_dir, "binary_probabilities_*.npy"))
+                      + [os.path.join(stats_dir, "map_mean.npy"),
+                         os.path.join(stats_dir, "idx_map_exception.pkl")]):
+            if os.path.isfile(stale):
+                os.remove(stale)
     argv = [str(bw_init), str(gamma), str(idx_model),
             "--path_to_extra_data", paths["extra"],
             "--results_root", results_root]

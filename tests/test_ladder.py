@@ -118,3 +118,40 @@ def test_ladder_slice_checkpoints_into_single_model_pipeline():
     numpy.testing.assert_array_equal(
         numpy.asarray(restored.params["weights_1"]),
         numpy.asarray(sliced.params["weights_1"]))
+
+
+def test_ladder_sharded_over_mesh_matches_unsharded():
+    """Gamma-axis model parallelism: the ladder state sharded over a
+    4-device mesh axis must train identically to the unsharded ladder
+    (the models are independent; GSPMD partitions the vmapped program
+    with zero collectives)."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh
+
+    from autoencoder_based_image_compression_tpu.train.ladder import (
+        shard_ladder_state)
+
+    gammas = [10000.0, 16000.0, 40000.0, 96000.0]
+    ladder = init_ladder_state(jax.random.PRNGKey(6), gammas)
+    fns = make_ladder_step_fns(gammas)
+    batch = _batch(12)
+    key = jax.random.PRNGKey(13)
+    plain = fns["train_step"](ladder, batch, key)
+
+    mesh = Mesh(numpy.array(jax.devices()[:4]), ("data",))
+    sharded_in = shard_ladder_state(ladder, mesh)
+    sharded_out = fns["train_step"](sharded_in, batch, key)
+
+    for name in plain.params:
+        numpy.testing.assert_allclose(
+            numpy.asarray(sharded_out.params[name]),
+            numpy.asarray(plain.params[name]), rtol=1e-6, atol=1e-7,
+            err_msg=name)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(sharded_out.density.nb_itvs_per_side),
+        numpy.asarray(plain.density.nb_itvs_per_side))
+    # The output actually came back sharded over the mesh.
+    assert len(sharded_out.params["weights_1"].sharding.device_set) == 4
