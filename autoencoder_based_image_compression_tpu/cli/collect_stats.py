@@ -49,6 +49,13 @@ def main(args=None):
                         default=10)
     parser.add_argument("--path_to_extra_data", default="data/extra/extra_data.npy")
     parser.add_argument("--results_root", default="results/eae")
+    parser.add_argument("--from_params", action="store_true",
+                        help="load the experiment's version-controlled "
+                             "params_trained.npz export instead of the "
+                             "model_{idx_training} train-state checkpoint "
+                             "(which is not version-controlled); also writes "
+                             "the stats_model_idx.json pairing marker from "
+                             "the artifact's recorded step")
     args = parser.parse_args(args)
 
     suffix = experiment_suffix(args.bin_width_init, args.gamma, args.learn_bin_widths)
@@ -56,16 +63,31 @@ def main(args=None):
     stats_dir = os.path.join(exp_dir, "statistics")
     os.makedirs(stats_dir, exist_ok=True)
 
-    template = init_train_state(jax.random.PRNGKey(0), args.gamma,
-                                args.bin_width_init, args.learn_bin_widths)
-    state = load_checkpoint(os.path.join(exp_dir, f"model_{args.idx_training}"),
-                            template)
+    if args.from_params:
+        import json
+
+        from autoencoder_based_image_compression_tpu.train.checkpoint import (
+            load_params_artifact,
+            params_artifact_step,
+        )
+
+        path_artifact = os.path.join(exp_dir, "params_trained.npz")
+        (params, bin_widths) = load_params_artifact(path_artifact)
+        step = params_artifact_step(path_artifact)
+        with open(os.path.join(stats_dir, "stats_model_idx.json"), "w") as file:
+            json.dump({"idx_model": args.idx_training, "step": step}, file)
+    else:
+        template = init_train_state(jax.random.PRNGKey(0), args.gamma,
+                                    args.bin_width_init, args.learn_bin_widths)
+        state = load_checkpoint(
+            os.path.join(exp_dir, f"model_{args.idx_training}"), template)
+        (params, bin_widths) = (state.params, state.bin_widths)
     extra_uint8 = numpy.load(args.path_to_extra_data)
-    y_float32 = encode_mini_batches(extra_uint8, state.params, args.learn_bin_widths,
+    y_float32 = encode_mini_batches(extra_uint8, params, args.learn_bin_widths,
                                     args.batch_size)
     save_statistics(
         y_float32,
-        numpy.asarray(state.bin_widths),
+        numpy.asarray(bin_widths),
         MULTIPLIERS,
         args.truncated_unary_length,
         os.path.join(stats_dir, "map_mean.npy"),
