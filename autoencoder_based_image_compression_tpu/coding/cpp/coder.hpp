@@ -96,8 +96,25 @@ class RangeCoder16 {
 
   explicit RangeCoder16(BitVec& stream) : stream_(stream) {}
 
+  // Probability-domain check. Hoisted out of the per-bit hot path by
+  // callers whose probability table is fixed for the whole stream
+  // (Ueg0Codec validates its table once at construction and then uses
+  // the *_unchecked entries).
+  static void validate_p0(double p0) {
+    if (std::isnan(p0) || p0 <= 0.0 || p0 >= 1.0) {
+      throw std::invalid_argument("probability must lie in ]0, 1[");
+    }
+  }
+
   // Encodes one binary decision; p0 is the probability the bit is 0.
   void encode(uint8_t bit, double p0) {
+    validate_p0(p0);
+    encode_unchecked(bit, p0);
+  }
+
+  // Same coding behavior as encode() without the per-bit domain check;
+  // only for callers that already ran validate_p0 on their table.
+  void encode_unchecked(uint8_t bit, double p0) {
     split(p0);
     if (bit & 0x1u) {
       low_ = middle_ + 1;
@@ -150,6 +167,12 @@ class RangeCoder16 {
   }
 
   uint8_t decode(double p0) {
+    validate_p0(p0);
+    return decode_unchecked(p0);
+  }
+
+  // Counterpart of encode_unchecked for decoding.
+  uint8_t decode_unchecked(double p0) {
     split(p0);
     uint8_t bit = 0;
     if (code_ >= low_ && code_ <= middle_) {
@@ -182,11 +205,11 @@ class RangeCoder16 {
 
  private:
   void split(double p0) {
-    if (std::isnan(p0) || p0 <= 0.0 || p0 >= 1.0) {
-      throw std::invalid_argument("probability must lie in ]0, 1[");
-    }
-    middle_ = low_ + static_cast<uint32_t>(
-        std::floor(p0 * static_cast<double>(high_ - low_)));
+    // p0 was validated before the hot loop (validate_p0). The cast's
+    // truncation equals std::floor for this non-negative product, so
+    // the split point stays bit-identical to the reference's
+    // floor-based computation (BinaryArithmeticCoder.cpp:154).
+    middle_ = low_ + static_cast<uint32_t>(p0 * static_cast<double>(high_ - low_));
   }
 
   void flush_e3(uint8_t emitted) {
@@ -214,7 +237,11 @@ class Ueg0Codec {
   Ueg0Codec(BitVec& bac_stream, BitVec& bypass_stream, uint8_t tu_len,
             const double* probabilities)
       : coder_(bac_stream), bypass_(bypass_stream), tu_len_(tu_len),
-        probs_(probabilities, probabilities + tu_len) {}
+        probs_(probabilities, probabilities + tu_len) {
+    // One table validation up front instead of one check per coded bit
+    // (the per-index probabilities are fixed for the whole stream).
+    for (double p0 : probs_) RangeCoder16::validate_p0(p0);
+  }
 
   void write(int16_t symbol) {
     const uint16_t magnitude = static_cast<uint16_t>(std::abs(symbol));
@@ -242,16 +269,16 @@ class Ueg0Codec {
   void write_truncated_unary(uint16_t magnitude) {
     uint16_t i = 0;
     for (; i < magnitude; ++i) {
-      coder_.encode(1, probs_[i]);
+      coder_.encode_unchecked(1, probs_[i]);
       if (i == static_cast<uint16_t>(tu_len_ - 1)) return;  // saturated prefix
     }
-    coder_.encode(0, probs_[i]);
+    coder_.encode_unchecked(0, probs_[i]);
   }
 
   uint16_t read_truncated_unary() {
     uint16_t value = 0;
     for (uint16_t i = 0;; ++i) {
-      if (coder_.decode(probs_[i]) == 0) break;
+      if (coder_.decode_unchecked(probs_[i]) == 0) break;
       ++value;
       if (i == static_cast<uint16_t>(tu_len_ - 1)) break;
     }
