@@ -78,12 +78,16 @@ def test_device_symbols_match_reference_host_quantization():
     compressor = PipelinedCompressor(
         params, bin_widths, True, numpy.full((128, 10), 0.5), map_mean,
         batch_size=2)
-    (symbols_dev, max_abs) = compressor.encode_symbols_fn(
+    (symbols_dev, symbols_dev8, max_abs) = compressor.encode_symbols_fn(
         params, jnp.asarray(images),
         compressor.bin_widths, compressor.map_mean)
     symbols_dev = numpy.asarray(symbols_dev)
     assert symbols_dev.dtype == numpy.int16
     assert float(max_abs) < 32767.0
+    if float(max_abs) <= 127.0:
+        # The narrow fetch image must agree exactly where it is used.
+        numpy.testing.assert_array_equal(
+            numpy.asarray(symbols_dev8).astype(numpy.int16), symbols_dev)
 
     y = encode_mini_batches(images, params, True, batch_size=2)
     centered_q = numpy.asarray(quantize_per_map(y - map_mean, bin_widths))
