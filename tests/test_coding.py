@@ -127,3 +127,41 @@ def test_save_statistics_idempotent(tmp_path):
     assert probs.min() >= 0.01 and probs.max() <= 0.99
     # Second invocation takes the already-exists path.
     stats.save_statistics(y, bin_widths, multipliers, 10, p_mean, p_idx, p_probs)
+
+
+def test_collect_stats_cli_from_params(tmp_path):
+    """collect_stats --from_params regenerates the full statistics set
+    from the version-controlled params_trained.npz export alone (the
+    per-part train-state checkpoints are not tracked) and writes the
+    step-stamped pairing marker the benchmark's consistency check reads."""
+    import json
+
+    import jax
+
+    from autoencoder_based_image_compression_tpu.cli import collect_stats
+    from autoencoder_based_image_compression_tpu.models import conv_eae
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        save_params_artifact)
+
+    exp_dir = tmp_path / "results" / "learning_bw" / "0dot5_10000"
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(0), True)
+    bin_widths = numpy.full(128, 0.5, dtype=numpy.float32)
+    save_params_artifact(str(exp_dir / "params_trained.npz"), params,
+                         bin_widths, step=777)
+    rng = numpy.random.default_rng(7)
+    extra = rng.integers(16, 236, size=(4, 32, 32, 1)).astype(numpy.uint8)
+    path_extra = str(tmp_path / "extra.npy")
+    numpy.save(path_extra, extra)
+
+    collect_stats.main(["0.5", "10000.0", "1", "--learn_bin_widths",
+                        "--from_params", "--batch_size", "2",
+                        "--path_to_extra_data", path_extra,
+                        "--results_root", str(tmp_path / "results")])
+
+    stats_dir = exp_dir / "statistics"
+    assert (stats_dir / "map_mean.npy").is_file()
+    assert (stats_dir / "idx_map_exception.pkl").is_file()
+    probs = numpy.load(stats_dir / "binary_probabilities_1.npy")
+    assert probs.shape == (128, 10)
+    marker = json.loads((stats_dir / "stats_model_idx.json").read_text())
+    assert marker == {"idx_model": 1, "step": 777}
