@@ -9,6 +9,7 @@ sweeps, JPEG2000 qualities {24..40}, HEVC QPs {22..47}.
 """
 
 import argparse
+import collections
 import os
 import pickle
 
@@ -43,15 +44,40 @@ MULTIPLIERS = [1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0]
 HEVC_QPS = [22, 27, 32, 37, 42, 47]
 
 
+_EvalModel = collections.namedtuple("_EvalModel", ["params", "bin_widths", "step"])
+
+
 def _load_state(results_root, bin_width_init, gamma, learn_bin_widths, idx_training):
-    template = init_train_state(jax.random.PRNGKey(0), gamma, bin_width_init,
-                                learn_bin_widths)
-    path = os.path.join(results_root,
-                        experiment_suffix(bin_width_init, gamma, learn_bin_widths),
-                        f"model_{idx_training}")
-    if not checkpoint_exists(path):
-        return None
-    return load_checkpoint(path, template)
+    """Loads a model for the test-time sweep.
+
+    Prefers the train-state checkpoint ``model_{idx_training}``; falls
+    back to the experiment's version-controlled ``params_trained.npz``
+    export (the sweep only needs params + bin widths + the step for the
+    cache key, so the repo's committed artifacts are enough to
+    regenerate every curve without the untracked optimizer state).
+    """
+    exp_dir = os.path.join(results_root,
+                           experiment_suffix(bin_width_init, gamma, learn_bin_widths))
+    path = os.path.join(exp_dir, f"model_{idx_training}")
+    if checkpoint_exists(path):
+        template = init_train_state(jax.random.PRNGKey(0), gamma, bin_width_init,
+                                    learn_bin_widths)
+        return load_checkpoint(path, template)
+    path_artifact = os.path.join(exp_dir, "params_trained.npz")
+    if os.path.isfile(path_artifact):
+        from autoencoder_based_image_compression_tpu.train.checkpoint import (
+            load_params_artifact,
+            params_artifact_step,
+        )
+
+        (params, bin_widths) = load_params_artifact(path_artifact)
+        step = params_artifact_step(path_artifact)
+        if step is None:
+            step = 0
+        print(f"{path} not found: using the params export {path_artifact} "
+              f"(step {step}).")
+        return _EvalModel(params, bin_widths, step)
+    return None
 
 
 def main(args=None):

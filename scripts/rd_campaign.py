@@ -310,10 +310,15 @@ def main():
     collect_stats(args.results_root, paths, 1.0, 10000.0, False,
                   args.nb_parts)
 
-    # Version-controllable params-only exports of the two sweep models
-    # (the full checkpoints carry optimizer state and stay untracked);
-    # the benchmark / parity / int8-fidelity harnesses load these so
-    # their numbers reflect trained weight distributions.
+    # Version-controllable params-only exports of EVERY trained model
+    # (the full checkpoints carry optimizer state and stay untracked):
+    # the two sweep models feed the benchmark / parity / int8-fidelity
+    # harnesses, and the per-gamma ladder exports make the whole RD
+    # study reproducible from the repo alone (reconstruct_kodak falls
+    # back to params_trained.npz when the train-state checkpoints are
+    # gone - the reference gitignores its results tree entirely, so a
+    # reference user can never regenerate the paper figure without
+    # retraining).
     import jax
 
     from autoencoder_based_image_compression_tpu.train.checkpoint import (
@@ -324,10 +329,12 @@ def main():
     from autoencoder_based_image_compression_tpu.utils.naming import (
         experiment_suffix)
 
-    for (bw_init, learn_bw) in [(0.5, True), (1.0, False)]:
+    exports = [(0.5, 10000.0, True)]
+    exports += [(1.0, gamma, False) for gamma in sorted(gammas_trained)]
+    for (bw_init, gamma, learn_bw) in exports:
         exp_dir = os.path.join(args.results_root,
-                               experiment_suffix(bw_init, 10000.0, learn_bw))
-        template = init_train_state(jax.random.PRNGKey(0), 10000.0, bw_init,
+                               experiment_suffix(bw_init, gamma, learn_bw))
+        template = init_train_state(jax.random.PRNGKey(0), gamma, bw_init,
                                     learn_bw)
         state = load_checkpoint(
             os.path.join(exp_dir, f"model_{args.nb_parts}"), template)

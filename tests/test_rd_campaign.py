@@ -132,3 +132,46 @@ def test_part_done_rejects_interrupted_checkpoints(tmp_path):
     save_checkpoint(path, state)
     mark_checkpoint_complete(path)
     assert _part_done(path)                  # ...finished: accepted
+
+
+def test_reconstruct_kodak_from_params_exports(tmp_path, capsys):
+    """With no train-state checkpoints on disk, the RD sweep regenerates
+    every model curve from the version-controlled params_trained.npz
+    exports alone (the repo's committed model zoo)."""
+    import jax
+    import numpy
+
+    from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
+    from autoencoder_based_image_compression_tpu.models import conv_eae
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        save_params_artifact)
+    from autoencoder_based_image_compression_tpu.utils.naming import (
+        experiment_suffix)
+
+    results = tmp_path / "results"
+    # A two-gamma fixed-bw ladder + the learned-bw sweep model, as
+    # params-only exports.
+    for (bw_init, gamma, learn_bw) in [(1.0, 10000.0, False),
+                                       (1.0, 24000.0, False),
+                                       (0.5, 10000.0, True)]:
+        params = conv_eae.init_conv_eae_params(
+            jax.random.PRNGKey(int(gamma) % 97), learn_bw)
+        bin_widths = numpy.full(128, bw_init, numpy.float32)
+        save_params_artifact(
+            str(results / experiment_suffix(bw_init, gamma, learn_bw)
+                / "params_trained.npz"),
+            params, bin_widths, step=4321)
+    kodak = str(tmp_path / "kodak.npy")
+    rng = numpy.random.default_rng(0)
+    numpy.save(kodak, rng.integers(16, 236, (4, 32, 48), numpy.uint8))
+
+    reconstruct_kodak.main(["--path_to_kodak", kodak,
+                            "--results_root", str(results),
+                            "--cache_dir", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert "using the params export" in out
+    # vary-gamma + learned-bw sweep + fixed-bw sweep + JPEG2000 anchor.
+    assert "4 RD curves written" in out
+    assert (tmp_path / "out" / "rate_distortion.png").is_file()
+    # The cache keys carry the artifact step (stale-curve guard).
+    assert any("s4321" in p.name for p in (tmp_path / "out").glob("*.npy"))
