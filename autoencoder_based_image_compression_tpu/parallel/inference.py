@@ -98,13 +98,20 @@ class PipelinedCompressor:
 
     def __init__(self, params, bin_widths, learn_bin_widths, binary_probabilities,
                  map_mean, idx_map_exception=-1, mesh=None, batch_size=4,
-                 fast_path=None):
+                 fast_path=None, reconstruct=True):
         """``fast_path``: None runs the fp32 parity transforms; "bf16w"
         or "int8" runs the serving engine's low-precision transforms
         (``engine.quantized``; bf16 activations, bf16-rounded or
         int8-stored kernels). Learned-bin-width architecture only -
         the measured fidelity of both variants vs fp32 is recorded in
         BASELINE.md (bf16w is the parity-safe serving default).
+
+        ``reconstruct=False`` is the compress-only serving mode: the
+        decode dispatch and the reconstruction fetch are skipped
+        entirely (the coded round trip still verifies every bitstream),
+        and ``__call__`` returns ``(None, nb_bits_per_image)``. On
+        link-constrained hosts this roughly halves the bytes crossing
+        the device boundary.
         """
         from autoencoder_based_image_compression_tpu.coding.compression import (
             compress_lossless_maps)
@@ -135,6 +142,7 @@ class PipelinedCompressor:
         self.map_mean = jnp.asarray(map_mean, jnp.float32)
         self.idx_map_exception = idx_map_exception
         self.batch_size = batch_size
+        self.reconstruct = reconstruct
         (_, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
 
         def _encode_symbols(params, batch_uint8, bin_widths, map_mean):
@@ -221,10 +229,12 @@ class PipelinedCompressor:
                 images_uint8[start:start + self.batch_size]))
             (symbols16, symbols8, batch_max) = self.encode_symbols_fn(
                 self.params, batch, self.bin_widths, self.map_mean)
-            reconstruction = self.decode_symbols_fn(
-                self.params, symbols16, self.bin_widths, self.map_mean)
+            reconstruction = None
+            if self.reconstruct:
+                reconstruction = self.decode_symbols_fn(
+                    self.params, symbols16, self.bin_widths, self.map_mean)
+                reconstruction.copy_to_host_async()
             symbols8.copy_to_host_async()
-            reconstruction.copy_to_host_async()
             inflight.append((start, symbols16, symbols8, batch_max,
                              reconstruction))
         # Phase 2 - feed the coder thread pool as each batch's symbols
@@ -254,5 +264,7 @@ class PipelinedCompressor:
                         (start + j, pool.submit(self._compress_one, one)))
             for (idx, fut) in coding_futures:
                 bits[idx] = fut.result()
+        if not self.reconstruct:
+            return (None, numpy.asarray(bits))
         recs = numpy.concatenate([numpy.asarray(r) for r in reconstructions], axis=0)
         return (recs, numpy.asarray(bits))

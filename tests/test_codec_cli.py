@@ -7,12 +7,19 @@ so the test exercises exactly what a user of the codec runs.
 import os
 
 import numpy
+import pytest
 
 from autoencoder_based_image_compression_tpu.cli import codec
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MODEL = os.path.join(REPO, "results", "eae", "learning_bw", "0dot5_10000",
                      "params_trained.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(os.path.dirname(MODEL), "statistics",
+                                    "map_mean.npy")),
+    reason="sweep-model coding statistics not present (mid-campaign tree); "
+           "regenerate with cli.collect_stats --from_params")
 
 
 def test_compress_decompress_roundtrip(tmp_path):

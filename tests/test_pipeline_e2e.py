@@ -9,6 +9,7 @@ sane rates.
 
 import jax
 import numpy
+import pytest
 
 from autoencoder_based_image_compression_tpu.coding import stats
 from autoencoder_based_image_compression_tpu.models import conv_eae
@@ -57,6 +58,15 @@ def test_pipelined_compressor_end_to_end(tmp_path):
     expected = decode_mini_batches(centered_q + map_mean, params, True, 4)
     assert reconstructions.dtype == numpy.uint8  # device-side BT.601 cast
     numpy.testing.assert_array_equal(reconstructions, expected)
+
+    # Compress-only serving mode: no decode dispatch, no reconstruction
+    # fetch, identical verified bitstream sizes.
+    compress_only = PipelinedCompressor(
+        params, bin_widths, True, probabilities, map_mean,
+        idx_map_exception=idx_exception, batch_size=2, reconstruct=False)
+    (recs_none, nb_bits_only) = compress_only(test_images)
+    assert recs_none is None
+    numpy.testing.assert_array_equal(nb_bits_only, nb_bits)
 
 
 def test_device_symbols_match_reference_host_quantization():
@@ -112,9 +122,13 @@ def test_pipelined_compressor_fast_path_matches_parity_path():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     exp_dir = os.path.join(repo, "results", "eae", "learning_bw", "0dot5_10000")
+    stats_dir = os.path.join(exp_dir, "statistics")
+    if not os.path.isfile(os.path.join(stats_dir, "map_mean.npy")):
+        pytest.skip("sweep-model coding statistics not present "
+                    "(mid-campaign tree); regenerate with "
+                    "cli.collect_stats --from_params")
     (params, bin_widths) = load_params_artifact(
         os.path.join(exp_dir, "params_trained.npz"))
-    stats_dir = os.path.join(exp_dir, "statistics")
     map_mean = numpy.load(os.path.join(stats_dir, "map_mean.npy"))
     probabilities = numpy.load(
         os.path.join(stats_dir, "binary_probabilities_1.npy"))
@@ -144,7 +158,6 @@ def test_pipelined_compressor_fast_path_matches_parity_path():
             assert psnr_2d(recs_fp32[i, :, :, 0],
                            recs_fast[i, :, :, 0]) > min_psnr, variant
 
-    import pytest
 
     with pytest.raises(ValueError):
         PipelinedCompressor(params, bin_widths, True, probabilities, map_mean,
@@ -152,7 +165,6 @@ def test_pipelined_compressor_fast_path_matches_parity_path():
 
 
 def test_pipelined_compressor_fast_path_rejects_fixed_bw():
-    import pytest
 
     from autoencoder_based_image_compression_tpu.parallel.inference import (
         PipelinedCompressor)
