@@ -243,6 +243,7 @@ def main():
     # deployable true-rate throughput, coder-side included.
     coded_mpix = None
     coded_fast_mpix = None
+    coded_compress_only_mpix = None
     stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
 
     def _stats_match_artifact():
@@ -296,6 +297,13 @@ def main():
             idx_exc, batch_size=8, fast_path="bf16w")
         coded_fast_seconds = _timeit(lambda: compressor_fast(images), repeats=3)
         coded_fast_mpix = nb_pixels / coded_fast_seconds / 1.0e6
+        # Compress-only serving (no decode dispatch / reconstruction
+        # fetch - the production "archive this stream" workload).
+        compressor_co = PipelinedCompressor(
+            params, bin_widths, learn_bin_widths, probabilities, map_mean,
+            idx_exc, batch_size=8, reconstruct=False)
+        coded_co_seconds = _timeit(lambda: compressor_co(images), repeats=3)
+        coded_compress_only_mpix = nb_pixels / coded_co_seconds / 1.0e6
 
     print(json.dumps({
         "metric": "kodak24_encode_decode_throughput",
@@ -313,6 +321,9 @@ def main():
         "true_bitstream_fast_mpix_per_s": (round(coded_fast_mpix, 3)
                                            if coded_fast_mpix is not None
                                            else None),
+        "true_bitstream_compress_only_mpix_per_s": (
+            round(coded_compress_only_mpix, 3)
+            if coded_compress_only_mpix is not None else None),
         "true_bitstream_mpix_per_s": (round(coded_mpix, 3)
                                       if coded_mpix is not None else None),
         "weights": weights_kind,
