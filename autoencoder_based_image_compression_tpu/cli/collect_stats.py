@@ -63,9 +63,8 @@ def main(args=None):
     stats_dir = os.path.join(exp_dir, "statistics")
     os.makedirs(stats_dir, exist_ok=True)
 
+    artifact_step = None
     if args.from_params:
-        import json
-
         from autoencoder_based_image_compression_tpu.train.checkpoint import (
             load_params_artifact,
             params_artifact_step,
@@ -73,9 +72,7 @@ def main(args=None):
 
         path_artifact = os.path.join(exp_dir, "params_trained.npz")
         (params, bin_widths) = load_params_artifact(path_artifact)
-        step = params_artifact_step(path_artifact)
-        with open(os.path.join(stats_dir, "stats_model_idx.json"), "w") as file:
-            json.dump({"idx_model": args.idx_training, "step": step}, file)
+        artifact_step = params_artifact_step(path_artifact)
     else:
         template = init_train_state(jax.random.PRNGKey(0), args.gamma,
                                     args.bin_width_init, args.learn_bin_widths)
@@ -85,16 +82,41 @@ def main(args=None):
     extra_uint8 = numpy.load(args.path_to_extra_data)
     y_float32 = encode_mini_batches(extra_uint8, params, args.learn_bin_widths,
                                     args.batch_size)
+    stats_paths = ([os.path.join(stats_dir, "map_mean.npy"),
+                    os.path.join(stats_dir, "idx_map_exception.pkl")]
+                   + [os.path.join(stats_dir,
+                                   f"binary_probabilities_{float_to_str(float(m))}.npy")
+                      for m in MULTIPLIERS])
+    # save_statistics keeps the reference's file-existence guard and
+    # silently skips when every file already exists; the step-pairing
+    # marker below must therefore only be (re)stamped when this run
+    # actually regenerated the tables, or stale probabilities would be
+    # re-labelled with the new artifact's step - exactly the mismatch
+    # the marker lets bench.py detect.
+    regenerating = not all(os.path.isfile(p) for p in stats_paths)
     save_statistics(
         y_float32,
         numpy.asarray(bin_widths),
         MULTIPLIERS,
         args.truncated_unary_length,
-        os.path.join(stats_dir, "map_mean.npy"),
-        os.path.join(stats_dir, "idx_map_exception.pkl"),
-        [os.path.join(stats_dir, f"binary_probabilities_{float_to_str(float(m))}.npy")
-         for m in MULTIPLIERS],
+        stats_paths[0],
+        stats_paths[1],
+        stats_paths[2:],
     )
+    if args.from_params:
+        import json
+
+        marker = os.path.join(stats_dir, "stats_model_idx.json")
+        if regenerating:
+            # `idx_training` is deliberately NOT recorded here: the
+            # params artifact carries only its training step, so the
+            # step is the authoritative pairing key and a user-supplied
+            # model index would be recorded as unverified fact.
+            with open(marker, "w") as file:
+                json.dump({"step": artifact_step}, file)
+        else:
+            print(f"Statistics files pre-existed; {marker} left untouched "
+                  "(delete the statistics to re-collect and re-stamp).")
 
 
 if __name__ == "__main__":

@@ -73,11 +73,24 @@ def _load_state(results_root, bin_width_init, gamma, learn_bin_widths, idx_train
         (params, bin_widths) = load_params_artifact(path_artifact)
         step = params_artifact_step(path_artifact)
         if step is None:
-            step = 0
+            # Pre-step-stamp export: a constant placeholder would make
+            # every un-stamped artifact share one cache key (and
+            # silently reuse another export's cached RD curves), so the
+            # cache token is derived from the artifact's content.
+            import hashlib
+
+            with open(path_artifact, "rb") as file:
+                step = "x" + hashlib.sha1(file.read()).hexdigest()[:10]
         print(f"{path} not found: using the params export {path_artifact} "
               f"(step {step}).")
         return _EvalModel(params, bin_widths, step)
     return None
+
+
+def _step_key(step):
+    """Cache-key token for a model's training step (int for real
+    checkpoints, content-hash string for un-stamped params exports)."""
+    return step if isinstance(step, str) else str(int(step))
 
 
 def main(args=None):
@@ -167,7 +180,7 @@ def main(args=None):
         state = _load_state(args.results_root, 1.0, gamma, False, args.idx_training)
         if state is not None:
             params_per_gamma[gamma] = state.params
-            step_per_gamma[gamma] = int(state.step)
+            step_per_gamma[gamma] = _step_key(state.step)
     if params_per_gamma:
         # Cache key carries the full model identity: which gammas, at
         # which training steps (stale-curve guard).
@@ -206,24 +219,67 @@ def main(args=None):
         # Cache key = model identity (bw init, gamma, training step),
         # multiplier ladder, and true-coded vs theoretical rate.
         fix_id = (f"{float_to_str(bw_init)}_{float_to_str(10000.0)}"
-                  f"_s{int(state.step)}"
+                  f"_s{_step_key(state.step)}"
                   f"_m{'-'.join(float_to_str(m) for m in MULTIPLIERS)}"
                   f"_{'coded' if probabilities is not None else 'approx'}")
-        (rates_f, psnrs_f) = rd_sweep.fix_gamma(
+        (rates_f, psnrs_f, nb_deads_f) = rd_sweep.fix_gamma(
             images, state.params, numpy.asarray(state.bin_widths), learn_bw,
             MULTIPLIERS, args.batch_size, args.cache_dir, map_mean, probabilities,
             idx_exception, experiment_id=fix_id)
         curves.append((numpy.mean(rates_f, axis=1), numpy.mean(psnrs_f, axis=1),
                        label, style))
+        # Dead-feature-maps-vs-rate figure for each sweep family
+        # (reference ``reconstructing_eae_kodak.py:245-287``).
+        from autoencoder_based_image_compression_tpu.eval.visualization import (
+            plot_nb_dead_feature_maps)
 
-    # Anchors.
+        os.makedirs(args.cache_dir, exist_ok=True)
+        plot_nb_dead_feature_maps(
+            rates_f, nb_deads_f,
+            os.path.join(args.cache_dir,
+                         f"nb_dead_{'learn' if learn_bw else 'fixed'}_bw.png"))
+
+    # Anchors. Both are cached like the EAE curve families (the
+    # reference caches every family, ``reconstructing_eae_kodak.py:678-683``;
+    # anchor recomputation dominated study-regeneration time). The cache
+    # key carries the resolved backend, the resolved ladder and a
+    # content hash of the image stack, so changing any of them recomputes.
+    import hashlib
+
+    images_tag = hashlib.sha1(images.tobytes()).hexdigest()[:10]
+
+    def _cached_anchor(tag, compute):
+        path_rates = os.path.join(args.cache_dir, f"rates_{tag}.npy")
+        path_psnrs = os.path.join(args.cache_dir, f"psnrs_{tag}.npy")
+        if os.path.isfile(path_rates) and os.path.isfile(path_psnrs):
+            return (numpy.load(path_rates), numpy.load(path_psnrs))
+        (rates, psnrs) = compute()
+        os.makedirs(args.cache_dir, exist_ok=True)
+        numpy.save(path_rates, rates)
+        numpy.save(path_psnrs, psnrs)
+        return (rates, psnrs)
+
     try:
         from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
-            evaluate_jpeg2000)
+            DEFAULT_RATIOS,
+            REFERENCE_QUALITIES,
+            evaluate_jpeg2000,
+            imagemagick_available,
+        )
 
-        (rates_j2k, psnrs_j2k) = evaluate_jpeg2000(images,
-                                                   ratios=args.jpeg2000_ladder,
-                                                   backend=args.jpeg2000_backend)
+        backend = args.jpeg2000_backend
+        if backend == "auto":
+            backend = "imagemagick" if imagemagick_available() else "pillow"
+        ladder = args.jpeg2000_ladder
+        if ladder is None:
+            ladder = list(REFERENCE_QUALITIES if backend == "imagemagick"
+                          else DEFAULT_RATIOS)
+        j2k_tag = (f"jpeg2000_{backend}_"
+                   f"{'-'.join(float_to_str(float(v)) for v in ladder)}"
+                   f"_{images_tag}")
+        (rates_j2k, psnrs_j2k) = _cached_anchor(
+            j2k_tag,
+            lambda: evaluate_jpeg2000(images, ratios=ladder, backend=backend))
         curves.append((numpy.mean(rates_j2k, axis=0), numpy.mean(psnrs_j2k, axis=0),
                        "JPEG2000", "x--"))
     except Exception as error:  # anchor optional
@@ -232,9 +288,11 @@ def main(args=None):
     if args.hevc_encoder:
         from autoencoder_based_image_compression_tpu.codecs.hevc import evaluate_hevc
 
-        (rates_hevc, psnrs_hevc) = evaluate_hevc(
-            images, HEVC_QPS if args.hevc_qps is None else args.hevc_qps,
-            args.hevc_encoder)
+        qps = HEVC_QPS if args.hevc_qps is None else args.hevc_qps
+        hevc_tag = f"hevc_qp{'-'.join(str(q) for q in qps)}_{images_tag}"
+        (rates_hevc, psnrs_hevc) = _cached_anchor(
+            hevc_tag,
+            lambda: evaluate_hevc(images, qps, args.hevc_encoder))
         curves.append((numpy.mean(rates_hevc, axis=0), numpy.mean(psnrs_hevc, axis=0),
                        "HEVC", "d--"))
 

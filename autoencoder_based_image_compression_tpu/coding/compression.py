@@ -69,6 +69,65 @@ def compress_lossless_maps(ref_int16, binary_probabilities, idx_map_exception=-1
     return (rec_int16, nb_bits_each_map)
 
 
+def compress_lossless_images(symbols_int16, binary_probabilities,
+                             idx_map_exception=-1, nb_threads=0, verify=True):
+    """Codes a whole image batch's maps in ONE C++ thread-pool call.
+
+    The serving-path entry: where :func:`compress_lossless_maps` codes
+    one image (the reference's unit of work,
+    ``reconstructing_eae_kodak.py:197-218``), this fans every
+    (image, map) pair of a ``(nb_images, height_map, width_map,
+    nb_maps)`` int16 batch out over a single pool - no nested Python
+    thread pools, no per-image call overhead, and the pool's width is
+    ``nb_images * (nb_maps - 1)`` instead of ``nb_maps - 1``.
+
+    ``verify=True`` round-trips and asserts every map bit-exactly
+    (reference ``compression.py:151-153``); ``verify=False`` encodes
+    only (same bitstreams, ~half the coder work - see
+    ``native.compress_lossless_batch``).
+
+    Returns ``nb_bits_per_image`` (int64, shape ``(nb_images,)``); the
+    exception map of every image is costed by its entropy estimate
+    (reference ``compression.py:68-75``).
+    """
+    if symbols_int16.dtype != numpy.int16:
+        raise TypeError("`symbols_int16.dtype` is not equal to `numpy.int16`.")
+    if symbols_int16.ndim != 4:
+        raise ValueError("`symbols_int16.ndim` is not equal to 4.")
+    if isinstance(binary_probabilities, str):
+        binary_probabilities = numpy.load(binary_probabilities)
+    (nb_images, height_map, width_map, nb_maps) = symbols_int16.shape
+    if binary_probabilities.shape[0] != nb_maps:
+        raise ValueError("`binary_probabilities.shape[0]` != `symbols_int16.shape[3]`.")
+    coded_maps = [m for m in range(nb_maps) if m != idx_map_exception]
+
+    # (images, maps, h*w) rows, maps-major within each image.
+    rows = numpy.ascontiguousarray(
+        numpy.moveaxis(symbols_int16, 3, 1)[:, coded_maps].reshape(
+            nb_images * len(coded_maps), height_map * width_map))
+    probs = numpy.broadcast_to(
+        binary_probabilities[coded_maps][None],
+        (nb_images, len(coded_maps), binary_probabilities.shape[1]))
+    probs = numpy.ascontiguousarray(
+        probs.reshape(nb_images * len(coded_maps), -1))
+    (rec_rows, bits_rows) = native.compress_lossless_batch(
+        rows, probs, nb_threads, verify=verify)
+    if verify:
+        numpy.testing.assert_equal(
+            rec_rows, rows,
+            err_msg="The lossless compression has altered the symbols.")
+    nb_bits = bits_rows.reshape(nb_images, len(coded_maps)).sum(
+        axis=1, dtype=numpy.int64)
+
+    if 0 <= idx_map_exception < nb_maps:
+        for i in range(nb_images):
+            cumulated_entropy = height_map * width_map * discrete_entropy(
+                symbols_int16[i, :, :, idx_map_exception].astype(numpy.float32),
+                1.0)
+            nb_bits[i] += int(numpy.ceil(cumulated_entropy))
+    return nb_bits
+
+
 def rescale_compress_lossless_maps(centered_quantized_data, bin_widths_test,
                                    binary_probabilities, idx_map_exception=-1,
                                    nb_threads=0):

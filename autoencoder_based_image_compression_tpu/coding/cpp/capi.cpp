@@ -27,6 +27,8 @@ uint32_t roundtrip_map(uint32_t size, const int16_t* input, int16_t* output,
                        uint8_t tu_len, const double* probabilities) {
   aeic::BitVec bac_stream;
   aeic::BitVec bypass_stream;
+  bac_stream.reserve_bits(static_cast<std::uint64_t>(size) * 4);
+  bypass_stream.reserve_bits(size);
   aeic::Ueg0Codec codec(bac_stream, bypass_stream, tu_len, probabilities);
   for (uint32_t i = 0; i < size; ++i) codec.write(input[i]);
   codec.stop_encoding();
@@ -35,6 +37,25 @@ uint32_t roundtrip_map(uint32_t size, const int16_t* input, int16_t* output,
   codec.start_decoding();
   for (uint32_t i = 0; i < size; ++i) output[i] = codec.read();
   return nb_bits;
+}
+
+// Encode-only variant: produces the same bitstreams (and therefore the
+// same bit count) as roundtrip_map without the verify-decode pass. The
+// serving path uses it once a deployment trusts the coder (the
+// differential test against the reference coder and the round-trip
+// self-tests cover the equivalence); the research/eval paths keep the
+// verifying entry.
+uint32_t encode_map_bits(uint32_t size, const int16_t* input, uint8_t tu_len,
+                         const double* probabilities) {
+  aeic::BitVec bac_stream;
+  aeic::BitVec bypass_stream;
+  bac_stream.reserve_bits(static_cast<std::uint64_t>(size) * 4);
+  bypass_stream.reserve_bits(size);
+  aeic::Ueg0Codec codec(bac_stream, bypass_stream, tu_len, probabilities);
+  for (uint32_t i = 0; i < size; ++i) codec.write(input[i]);
+  codec.stop_encoding();
+  return static_cast<uint32_t>(bac_stream.occupancy_in_bits() +
+                               bypass_stream.occupancy_in_bits());
 }
 
 }  // namespace
@@ -57,16 +78,19 @@ int aeic_compress_lossless(uint32_t size, const int16_t* input, int16_t* output,
   return 0;
 }
 
-// Batch encode+verify-decode of `nb_maps` maps of `map_size` symbols,
-// fanned out over `nb_threads` workers (0 -> hardware concurrency).
-// probabilities is row-major (nb_maps, tu_len); nb_bits_out has nb_maps
-// entries. Returns 0 on success, 1 on error in any map.
-int aeic_compress_lossless_batch(uint32_t nb_maps, uint32_t map_size,
-                                 const int16_t* input, int16_t* output,
-                                 uint8_t tu_len, const double* probabilities,
-                                 uint32_t* nb_bits_out, uint32_t nb_threads) {
-  if (input == nullptr || output == nullptr || probabilities == nullptr ||
-      nb_bits_out == nullptr || tu_len == 0) {
+// Batch coding of `nb_maps` maps of `map_size` symbols, fanned out over
+// `nb_threads` workers (0 -> hardware concurrency). probabilities is
+// row-major (nb_maps, tu_len); nb_bits_out has nb_maps entries. flags
+// bit 0 set = encode-only (no verify-decode; `output` is not written
+// and may be null). Returns 0 on success, 1 on error in any map.
+int aeic_compress_lossless_batch_ex(uint32_t nb_maps, uint32_t map_size,
+                                    const int16_t* input, int16_t* output,
+                                    uint8_t tu_len, const double* probabilities,
+                                    uint32_t* nb_bits_out, uint32_t nb_threads,
+                                    uint32_t flags) {
+  const bool encode_only = (flags & 0x1u) != 0;
+  if (input == nullptr || (output == nullptr && !encode_only) ||
+      probabilities == nullptr || nb_bits_out == nullptr || tu_len == 0) {
     return 1;
   }
   if (nb_threads == 0) {
@@ -80,10 +104,15 @@ int aeic_compress_lossless_batch(uint32_t nb_maps, uint32_t map_size,
       const uint32_t map = next.fetch_add(1);
       if (map >= nb_maps || failed.load()) return;
       try {
-        nb_bits_out[map] = roundtrip_map(
-            map_size, input + static_cast<std::size_t>(map) * map_size,
-            output + static_cast<std::size_t>(map) * map_size, tu_len,
-            probabilities + static_cast<std::size_t>(map) * tu_len);
+        const int16_t* in = input + static_cast<std::size_t>(map) * map_size;
+        const double* probs =
+            probabilities + static_cast<std::size_t>(map) * tu_len;
+        nb_bits_out[map] =
+            encode_only
+                ? encode_map_bits(map_size, in, tu_len, probs)
+                : roundtrip_map(map_size, in,
+                                output + static_cast<std::size_t>(map) * map_size,
+                                tu_len, probs);
       } catch (...) {
         failed.store(1);
         return;
@@ -95,6 +124,16 @@ int aeic_compress_lossless_batch(uint32_t nb_maps, uint32_t map_size,
   worker();
   for (auto& th : pool) th.join();
   return failed.load();
+}
+
+// Back-compatible verifying batch entry.
+int aeic_compress_lossless_batch(uint32_t nb_maps, uint32_t map_size,
+                                 const int16_t* input, int16_t* output,
+                                 uint8_t tu_len, const double* probabilities,
+                                 uint32_t* nb_bits_out, uint32_t nb_threads) {
+  return aeic_compress_lossless_batch_ex(nb_maps, map_size, input, output,
+                                         tu_len, probabilities, nb_bits_out,
+                                         nb_threads, 0);
 }
 
 // Encodes one map into caller-provided byte buffers. Returns 0 on

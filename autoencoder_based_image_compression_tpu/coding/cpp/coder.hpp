@@ -29,16 +29,38 @@ namespace aeic {
 // Growable bit buffer with separate read/write cursors (LSB-first within
 // each byte). Unlike the reference's fixed-capacity Bitstream, capacity
 // grows on demand, so callers need no worst-case sizing. Writes go
-// through a staging byte so the hot path is branch-light (one growth
-// check per 8 bits instead of per bit).
+// through a 64-bit staging word so the hot path is branch-light (one
+// growth check per 64 bits instead of per bit), and runs of bits can be
+// appended in one call (push_bits) - the serialized *bit order* is
+// identical to bit-by-bit pushes, so bitstreams stay bit-exact with the
+// reference coder.
 class BitVec {
  public:
+  // Pre-sizes the word store (hot callers know the expected stream
+  // length; growth still happens automatically past the reservation).
+  void reserve_bits(std::uint64_t nb_bits) {
+    words_.reserve(static_cast<std::size_t>((nb_bits >> 6) + 1));
+  }
+
   void push(uint8_t bit) {
-    staging_ |= static_cast<uint8_t>((bit & 0x1u) << (write_pos_ & 7));
+    staging_ |= static_cast<uint64_t>(bit & 0x1u) << (write_pos_ & 63);
     ++write_pos_;
-    if ((write_pos_ & 7) == 0) {
-      data_.push_back(staging_);
+    if ((write_pos_ & 63) == 0) {
+      words_.push_back(staging_);
       staging_ = 0;
+    }
+  }
+
+  // Appends `n` bits at once; bit i of `value` becomes the i-th pushed
+  // bit (bits of `value` at positions >= n must be zero). n <= 57 so
+  // the straddle below spills at most one word.
+  void push_bits(uint64_t value, uint32_t n) {
+    const uint32_t offset = static_cast<uint32_t>(write_pos_ & 63);
+    staging_ |= value << offset;
+    write_pos_ += n;
+    if (offset + n >= 64) {
+      words_.push_back(staging_);
+      staging_ = (offset == 0) ? 0 : (value >> (64 - offset));
     }
   }
 
@@ -47,10 +69,10 @@ class BitVec {
   // shift register's fresh bits at 0).
   uint8_t pull() {
     if (read_pos_ >= write_pos_) return 0;
-    const std::size_t byte = read_pos_ >> 3;
-    const uint8_t source =
-        (byte < data_.size()) ? data_[byte] : staging_;  // tail still staged
-    const uint8_t bit = (source >> (read_pos_ & 7)) & 0x1u;
+    const std::size_t word = static_cast<std::size_t>(read_pos_ >> 6);
+    const uint64_t source =
+        (word < words_.size()) ? words_[word] : staging_;  // tail still staged
+    const uint8_t bit = static_cast<uint8_t>((source >> (read_pos_ & 63)) & 0x1u);
     ++read_pos_;
     return bit;
   }
@@ -59,11 +81,21 @@ class BitVec {
   std::uint64_t occupancy_in_bits() const { return write_pos_ - read_pos_; }
   std::uint64_t size_in_bits() const { return write_pos_; }
 
-  // Materializes the byte image including the partially-filled staging
-  // byte (if any).
+  // Materializes the LSB-first byte image including the partially
+  // filled tail (if any). Byte k holds bits [8k, 8k+8) regardless of
+  // host endianness.
   std::vector<uint8_t> bytes() const {
-    std::vector<uint8_t> out = data_;
-    if (write_pos_ & 7) out.push_back(staging_);
+    const std::size_t nb_bytes = static_cast<std::size_t>((write_pos_ + 7) >> 3);
+    std::vector<uint8_t> out(nb_bytes);
+    std::size_t i = 0;
+    for (std::size_t w = 0; w < words_.size() && i < nb_bytes; ++w) {
+      for (uint32_t b = 0; b < 8 && i < nb_bytes; ++b) {
+        out[i++] = static_cast<uint8_t>(words_[w] >> (8 * b));
+      }
+    }
+    for (uint32_t b = 0; b < 8 && i < nb_bytes; ++b) {
+      out[i++] = static_cast<uint8_t>(staging_ >> (8 * b));
+    }
     return out;
   }
 
@@ -71,17 +103,21 @@ class BitVec {
   // load whose bit count is not byte-aligned is unsupported (decode-
   // only usage).
   void load(const uint8_t* bytes, std::uint64_t nb_bits) {
-    data_.assign(bytes, bytes + ((nb_bits + 7) >> 3));
+    const std::size_t nb_bytes = static_cast<std::size_t>((nb_bits + 7) >> 3);
+    words_.assign((nb_bytes + 7) >> 3, 0);
+    for (std::size_t i = 0; i < nb_bytes; ++i) {
+      words_[i >> 3] |= static_cast<uint64_t>(bytes[i]) << (8 * (i & 7));
+    }
     write_pos_ = nb_bits;
     read_pos_ = 0;
     staging_ = 0;
   }
 
  private:
-  std::vector<uint8_t> data_;
+  std::vector<uint64_t> words_;
   std::uint64_t write_pos_ = 0;
   std::uint64_t read_pos_ = 0;
-  uint8_t staging_ = 0;
+  uint64_t staging_ = 0;
 };
 
 // 16-bit static-probability binary range coder.
@@ -213,8 +249,15 @@ class RangeCoder16 {
   }
 
   void flush_e3(uint8_t emitted) {
-    const uint8_t inverted = static_cast<uint8_t>(!(emitted & 0x1u));
-    for (uint32_t i = 0; i < nb_e3_; ++i) stream_.push(inverted);
+    // The queued E3 scalings all emit the inversion of the bit that was
+    // just written; push them as 32-bit runs (bit order unchanged).
+    const uint64_t fill = (emitted & 0x1u) ? 0 : ~0ull;
+    uint32_t remaining = nb_e3_;
+    while (remaining > 0) {
+      const uint32_t chunk = remaining < 32 ? remaining : 32;
+      stream_.push_bits(fill & ((1ull << chunk) - 1), chunk);
+      remaining -= chunk;
+    }
     nb_e3_ = 0;
   }
 
@@ -247,9 +290,25 @@ class Ueg0Codec {
     const uint16_t magnitude = static_cast<uint16_t>(std::abs(symbol));
     write_truncated_unary(magnitude);
     if (magnitude >= tu_len_) {
-      write_eg0(static_cast<uint16_t>(magnitude - tu_len_));
+      // EG0 suffix + sign assembled into ONE bypass append (identical
+      // bit order to the bit-by-bit writes; magnitude >= tu_len >= 1
+      // implies the symbol is nonzero, so the sign always follows).
+      const uint32_t value_plus_1 =
+          static_cast<uint32_t>(magnitude - tu_len_) + 1;
+      uint32_t nb_bits = 0;
+      while ((value_plus_1 >> nb_bits) != 0) ++nb_bits;
+      const uint32_t k = nb_bits - 1;          // <= 15 for int16 input
+      const uint32_t suffix = value_plus_1 - (1u << k);
+      uint64_t pattern = (1ull << k) - 1;      // k prefix ones, then a 0
+      for (uint32_t i = 0; i < k; ++i) {       // suffix, MSB first
+        pattern |= static_cast<uint64_t>((suffix >> (k - 1 - i)) & 0x1u)
+                   << (k + 1 + i);
+      }
+      pattern |= static_cast<uint64_t>(symbol > 0 ? 1 : 0) << (2 * k + 1);
+      bypass_.push_bits(pattern, 2 * k + 2);   // <= 33 bits
+    } else if (symbol != 0) {
+      bypass_.push(symbol > 0 ? 1 : 0);
     }
-    if (symbol != 0) bypass_.push(symbol > 0 ? 1 : 0);
   }
 
   int16_t read() {
@@ -283,19 +342,6 @@ class Ueg0Codec {
       if (i == static_cast<uint16_t>(tu_len_ - 1)) break;
     }
     return value;
-  }
-
-  void write_eg0(uint16_t value) {
-    const uint32_t value_plus_1 = static_cast<uint32_t>(value) + 1;
-    uint32_t nb_bits = 0;
-    while ((value_plus_1 >> nb_bits) != 0) ++nb_bits;
-    const uint32_t nb_bits_minus_1 = nb_bits - 1;
-    for (uint32_t i = 0; i < nb_bits_minus_1; ++i) bypass_.push(1);
-    bypass_.push(0);
-    const uint32_t suffix = value_plus_1 - (1u << nb_bits_minus_1);
-    for (uint32_t i = 0; i < nb_bits_minus_1; ++i) {
-      bypass_.push(static_cast<uint8_t>((suffix >> (nb_bits_minus_1 - i - 1)) & 0x1u));
-    }
   }
 
   uint16_t read_eg0() {

@@ -19,6 +19,9 @@ extern "C" int aeic_compress_lossless(uint32_t, const int16_t*, int16_t*, uint8_
 extern "C" int aeic_compress_lossless_batch(uint32_t, uint32_t, const int16_t*,
                                             int16_t*, uint8_t, const double*,
                                             uint32_t*, uint32_t);
+extern "C" int aeic_compress_lossless_batch_ex(uint32_t, uint32_t, const int16_t*,
+                                               int16_t*, uint8_t, const double*,
+                                               uint32_t*, uint32_t, uint32_t);
 
 #define CHECK(cond)                                                      \
   do {                                                                   \
@@ -159,8 +162,63 @@ static void test_compress_lossless_batch_matches_single() {
   }
 }
 
+static void test_bitvec_push_bits_matches_single_pushes() {
+  // push_bits must serialize the exact bit order of bit-by-bit pushes
+  // (the multi-bit bypass appends rely on it for bit-exactness).
+  std::mt19937 rng(5);
+  aeic::BitVec chunked, single;
+  std::vector<uint8_t> all_bits;
+  for (int round = 0; round < 2000; ++round) {
+    const uint32_t n = 1 + rng() % 33;
+    uint64_t value = (static_cast<uint64_t>(rng()) << 32) | rng();
+    value &= (n == 64) ? ~0ull : ((1ull << n) - 1);
+    chunked.push_bits(value, n);
+    for (uint32_t i = 0; i < n; ++i) {
+      const uint8_t bit = static_cast<uint8_t>((value >> i) & 0x1u);
+      single.push(bit);
+      all_bits.push_back(bit);
+    }
+  }
+  CHECK(chunked.size_in_bits() == single.size_in_bits());
+  const auto bytes_chunked = chunked.bytes();
+  const auto bytes_single = single.bytes();
+  CHECK(bytes_chunked.size() == bytes_single.size());
+  for (std::size_t i = 0; i < bytes_chunked.size(); ++i) {
+    CHECK(bytes_chunked[i] == bytes_single[i]);
+  }
+  for (auto bit : all_bits) CHECK(chunked.pull() == bit);
+  CHECK(chunked.exhausted());
+}
+
+static void test_encode_only_batch_matches_verifying_batch() {
+  // flags=1 (encode-only) must report the exact bit counts of the
+  // verifying round trip - it is the same encoder, minus the decode.
+  std::mt19937 rng(6);
+  const uint32_t nb_maps = 12, map_size = 32 * 48;
+  std::vector<int16_t> input(nb_maps * map_size), out(input.size(), 0);
+  std::geometric_distribution<int> geom(0.35);
+  std::bernoulli_distribution sign(0.5);
+  for (auto& s : input) {
+    int m = geom(rng);
+    s = static_cast<int16_t>(sign(rng) ? m : -m);
+  }
+  const uint8_t tu_len = 10;
+  std::vector<double> probs(nb_maps * tu_len);
+  for (auto& p : probs) p = 0.2 + 0.5 * (rng() % 100) / 100.0;
+  std::vector<uint32_t> bits_verify(nb_maps, 0), bits_encode(nb_maps, 0);
+  CHECK(aeic_compress_lossless_batch_ex(nb_maps, map_size, input.data(),
+                                        out.data(), tu_len, probs.data(),
+                                        bits_verify.data(), 2, 0) == 0);
+  CHECK(aeic_compress_lossless_batch_ex(nb_maps, map_size, input.data(),
+                                        nullptr, tu_len, probs.data(),
+                                        bits_encode.data(), 2, 1) == 0);
+  for (uint32_t m = 0; m < nb_maps; ++m) CHECK(bits_verify[m] == bits_encode[m]);
+}
+
 int main() {
   test_bitvec_roundtrip();
+  test_bitvec_push_bits_matches_single_pushes();
+  test_encode_only_batch_matches_verifying_batch();
   test_range_coder_roundtrip();
   test_range_coder_rejects_bad_probability();
   test_ueg0_roundtrip();

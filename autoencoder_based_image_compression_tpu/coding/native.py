@@ -51,6 +51,9 @@ def load_library():
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_uint32,
     ]
+    lib.aeic_compress_lossless_batch_ex.restype = ctypes.c_int
+    lib.aeic_compress_lossless_batch_ex.argtypes = (
+        lib.aeic_compress_lossless_batch.argtypes + [ctypes.c_uint32])
     _lib = lib
     return lib
 
@@ -98,8 +101,9 @@ def compress_lossless_flattened_map(ref_map_int16, probabilities):
     return (rec, int(nb_bits.value))
 
 
-def compress_lossless_batch(ref_maps_int16, probabilities, nb_threads=0):
-    """Round-trips a stack of maps on the C++ thread pool.
+def compress_lossless_batch(ref_maps_int16, probabilities, nb_threads=0,
+                            verify=True):
+    """Codes a stack of maps on the C++ thread pool.
 
     Parameters
     ----------
@@ -110,8 +114,16 @@ def compress_lossless_batch(ref_maps_int16, probabilities, nb_threads=0):
         zero-probabilities.
     nb_threads : int
         0 selects the hardware concurrency.
+    verify : bool
+        True (default) round-trips every map (encode + verify-decode,
+        the reference's discipline); False encodes only - the same
+        bitstreams and bit counts at roughly half the coder work, for
+        serving paths that trust the coder (the encode-only entry is
+        differentially tested against the verifying one in C++ and vs
+        the reference coder in ``tests/test_coder_differential.py``).
 
-    Returns ``(reconstructions, nb_bits_per_map)``.
+    Returns ``(reconstructions, nb_bits_per_map)``; with
+    ``verify=False`` the reconstructions are ``None``.
     """
     ref = numpy.ascontiguousarray(ref_maps_int16, dtype=numpy.int16)
     probs = numpy.ascontiguousarray(probabilities, dtype=numpy.float64)
@@ -120,17 +132,19 @@ def compress_lossless_batch(ref_maps_int16, probabilities, nb_threads=0):
     if probs.shape[1] > 255:
         raise ValueError("The truncated-unary length does not fit a uint8.")
     lib = load_library()
-    rec = numpy.zeros_like(ref)
+    rec = None if not verify else numpy.zeros_like(ref)
     nb_bits = numpy.zeros(ref.shape[0], dtype=numpy.uint32)
-    status = lib.aeic_compress_lossless_batch(
+    status = lib.aeic_compress_lossless_batch_ex(
         ctypes.c_uint32(ref.shape[0]),
         ctypes.c_uint32(ref.shape[1]),
         _as_ptr(ref, ctypes.c_int16),
-        _as_ptr(rec, ctypes.c_int16),
+        (ctypes.POINTER(ctypes.c_int16)() if rec is None
+         else _as_ptr(rec, ctypes.c_int16)),
         ctypes.c_uint8(probs.shape[1]),
         _as_ptr(probs, ctypes.c_double),
         _as_ptr(nb_bits, ctypes.c_uint32),
         ctypes.c_uint32(nb_threads),
+        ctypes.c_uint32(0 if verify else 1),
     )
     if status != 0:
         raise RuntimeError(f"C++ coder returned error status {status}.")

@@ -83,7 +83,10 @@ def fix_gamma(luminances_uint8, params, bin_widths, learn_bin_widths, multiplier
               idx_map_exception=-1, experiment_id=""):
     """Single-model bin-width-multiplier sweep (reference ``:31-243``).
 
-    Returns ``(rates, psnrs)`` of shape (nb_multipliers, nb_images),
+    Returns ``(rates, psnrs, nb_deads)``, each of shape
+    (nb_multipliers, nb_images) - ``nb_deads`` counts the dead latent
+    feature maps per operating point the way the reference's
+    ``array_nb_deads`` does (``reconstructing_eae_kodak.py:162-191``) -
     cached under ``cache_dir``. ``experiment_id`` must encode the model
     identity (bin-width init, gamma, training step, multiplier set,
     coded-vs-theoretical rate) so re-running with a different model
@@ -95,22 +98,26 @@ def fix_gamma(luminances_uint8, params, bin_widths, learn_bin_widths, multiplier
         suffix = f"{suffix}_{experiment_id}"
     path_rates = os.path.join(cache_dir, f"rates_fix_gamma_{suffix}.npy")
     path_psnrs = os.path.join(cache_dir, f"psnrs_fix_gamma_{suffix}.npy")
-    if os.path.isfile(path_rates) and os.path.isfile(path_psnrs):
-        return (numpy.load(path_rates), numpy.load(path_psnrs))
+    path_deads = os.path.join(cache_dir, f"deads_fix_gamma_{suffix}.npy")
+    if all(os.path.isfile(p) for p in (path_rates, path_psnrs, path_deads)):
+        return (numpy.load(path_rates), numpy.load(path_psnrs),
+                numpy.load(path_deads))
     nb_images = luminances_uint8.shape[0]
     rates = numpy.zeros((len(multipliers), nb_images))
     psnrs = numpy.zeros((len(multipliers), nb_images))
+    nb_deads = numpy.zeros((len(multipliers), nb_images), dtype=numpy.int32)
     for (k, multiplier) in enumerate(multipliers):
         bin_widths_test = numpy.float32(multiplier) * numpy.asarray(bin_widths)
         probabilities = (None if binary_probabilities_per_mult is None
                          else binary_probabilities_per_mult[k])
-        (rates[k], psnrs[k], _, _) = compute_rate_psnr(
+        (rates[k], psnrs[k], _, nb_deads[k]) = compute_rate_psnr(
             luminances_uint8, params, bin_widths_test, learn_bin_widths,
             batch_size, map_mean, probabilities, idx_map_exception)
     os.makedirs(cache_dir, exist_ok=True)
     numpy.save(path_rates, rates)
     numpy.save(path_psnrs, psnrs)
-    return (rates, psnrs)
+    numpy.save(path_deads, nb_deads)
+    return (rates, psnrs, nb_deads)
 
 
 def vary_gamma_fix_bin_widths(luminances_uint8, params_per_gamma, gammas, batch_size,

@@ -69,8 +69,24 @@ def visualize_representation(latents_hwc, nb_vertically, path):
 
 def plot_nb_dead_feature_maps(rates, nb_deads, path):
     """Dead-feature-map count vs rate (reference
-    ``reconstructing_eae_kodak.py:245-287``)."""
-    plt.plot(numpy.asarray(rates), numpy.asarray(nb_deads), "o-")
+    ``reconstructing_eae_kodak.py:245-287``).
+
+    Accepts 1D arrays (one curve) or 2D ``(nb_points, nb_images)``
+    arrays - the reference writes one figure per image; here the
+    per-image curves are overlaid thin with the mean curve bold, so one
+    figure carries the whole sweep.
+    """
+    rates = numpy.asarray(rates)
+    nb_deads = numpy.asarray(nb_deads)
+    if nb_deads.ndim == 2:
+        rates_2d = rates if rates.ndim == 2 else numpy.repeat(
+            rates[:, None], nb_deads.shape[1], axis=1)
+        plt.plot(rates_2d, nb_deads, "-", color="0.8", linewidth=0.6)
+        plt.plot(numpy.mean(rates_2d, axis=1), numpy.mean(nb_deads, axis=1),
+                 "o-", label="mean over images")
+        plt.legend(loc="upper right")
+    else:
+        plt.plot(rates, nb_deads, "o-")
     plt.xlabel("rate (bpp)")
     plt.ylabel("number of dead feature maps")
     plt.title("Dead latent feature maps vs rate")

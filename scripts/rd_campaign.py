@@ -100,6 +100,14 @@ def _part_done(path):
     )
 
     if not checkpoint_exists(path):
+        # A metadata file without its array file is a leftover of an
+        # interrupted part whose npz was already cleaned up; remove it
+        # so no consumer (collect_stats' step marker, resume logic)
+        # mistakes it for a trained model.
+        if os.path.isfile(path + ".json"):
+            print(f"[campaign] {path}.json: orphan checkpoint metadata "
+                  "(no .npz); removing it")
+            os.remove(path + ".json")
         return False
     if checkpoint_part_complete(path):
         return True
@@ -222,7 +230,11 @@ def collect_stats(results_root, paths, bw_init, gamma, learn_bw, idx_model):
     # pairing them with a params export can detect a mismatched pair.
     step = None
     meta_path = os.path.join(exp_dir, f"model_{idx_model}.json")
-    if os.path.isfile(meta_path):
+    # The metadata is only trusted when its array file exists: a stale
+    # json without the npz (interrupted part leftover) must not stamp
+    # the statistics with a step the weights never reached.
+    if (os.path.isfile(meta_path)
+            and os.path.isfile(os.path.join(exp_dir, f"model_{idx_model}.npz"))):
         with open(meta_path) as file:
             step = json.load(file).get("step")
     os.makedirs(stats_dir, exist_ok=True)
@@ -259,6 +271,12 @@ def main():
                              "check only (run it on CPU via AEIC_PLATFORM=cpu; "
                              "JAX_PLATFORMS is latched too early by the "
                              "environment's sitecustomize)")
+    parser.add_argument("--train_only", action="store_true",
+                        help="stop after the training parts (no stats "
+                             "recollection, exports or RD evaluation) - for "
+                             "running long training continuations in the "
+                             "background while the evaluation is driven "
+                             "separately")
     parser.add_argument("--gammas", type=float, nargs="*", default=None,
                         help="subset of the gamma ladder to train "
                              f"(default: all of {GAMMAS_VARY})")
@@ -304,6 +322,11 @@ def main():
                           args.nb_epochs, args.batch_size, idx_part)
         train_one(args.results_root, paths, 0.5, 10000.0, True,
                   args.nb_epochs, args.batch_size, idx_part)
+
+    if args.train_only:
+        print(f"[campaign] --train_only: {args.nb_parts} parts done, "
+              "stopping before stats/exports/evaluation")
+        return
 
     collect_stats(args.results_root, paths, 0.5, 10000.0, True,
                   args.nb_parts)

@@ -163,5 +163,22 @@ def test_collect_stats_cli_from_params(tmp_path):
     assert (stats_dir / "idx_map_exception.pkl").is_file()
     probs = numpy.load(stats_dir / "binary_probabilities_1.npy")
     assert probs.shape == (128, 10)
+    # The from_params marker records only the artifact's step (the
+    # authoritative pairing key); the user-supplied model index is not
+    # recorded as fact.
     marker = json.loads((stats_dir / "stats_model_idx.json").read_text())
-    assert marker == {"idx_model": 1, "step": 777}
+    assert marker == {"step": 777}
+
+    # Stale-stats guard: re-running with a newer artifact over
+    # pre-existing statistics files takes save_statistics'
+    # already-exists path, so the marker must NOT be re-stamped with
+    # the new step over the old probability tables (that would defeat
+    # bench.py's artifact/stats mismatch check).
+    save_params_artifact(str(exp_dir / "params_trained.npz"), params,
+                         bin_widths, step=888)
+    collect_stats.main(["0.5", "10000.0", "1", "--learn_bin_widths",
+                        "--from_params", "--batch_size", "2",
+                        "--path_to_extra_data", path_extra,
+                        "--results_root", str(tmp_path / "results")])
+    marker = json.loads((stats_dir / "stats_model_idx.json").read_text())
+    assert marker == {"step": 777}

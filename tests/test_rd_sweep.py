@@ -38,16 +38,18 @@ def test_fix_gamma_caches(tmp_path):
     (params, images) = _setup(2)
     bin_widths = numpy.ones(128, numpy.float32)
     multipliers = [1.0, 4.0]
-    (rates_1, psnrs_1) = rd_sweep.fix_gamma(images, params, bin_widths, True,
-                                            multipliers, 4, str(tmp_path))
+    (rates_1, psnrs_1, deads_1) = rd_sweep.fix_gamma(
+        images, params, bin_widths, True, multipliers, 4, str(tmp_path))
     assert rates_1.shape == (2, 4)
     # Second call must come from the .npy cache (mutate params to prove it).
     params_mutated = dict(params)
     params_mutated["weights_1"] = 0.0 * params_mutated["weights_1"]
-    (rates_2, psnrs_2) = rd_sweep.fix_gamma(images, params_mutated, bin_widths, True,
-                                            multipliers, 4, str(tmp_path))
+    (rates_2, psnrs_2, deads_2) = rd_sweep.fix_gamma(
+        images, params_mutated, bin_widths, True, multipliers, 4, str(tmp_path))
     numpy.testing.assert_array_equal(rates_1, rates_2)
     numpy.testing.assert_array_equal(psnrs_1, psnrs_2)
+    assert deads_1.shape == (2, 4)
+    numpy.testing.assert_array_equal(deads_1, deads_2)
 
 
 def test_fix_gamma_cache_keyed_on_experiment_identity(tmp_path):
@@ -56,14 +58,14 @@ def test_fix_gamma_cache_keyed_on_experiment_identity(tmp_path):
     (params, images) = _setup(3)
     bin_widths = numpy.ones(128, numpy.float32)
     multipliers = [1.0, 4.0]
-    (rates_1, _) = rd_sweep.fix_gamma(images, params, bin_widths, True,
-                                      multipliers, 4, str(tmp_path),
-                                      experiment_id="0dot5_10000_s100")
+    (rates_1, _, _) = rd_sweep.fix_gamma(images, params, bin_widths, True,
+                                         multipliers, 4, str(tmp_path),
+                                         experiment_id="0dot5_10000_s100")
     params_mutated = dict(params)
     params_mutated["weights_1"] = 0.0 * params_mutated["weights_1"]
-    (rates_2, _) = rd_sweep.fix_gamma(images, params_mutated, bin_widths, True,
-                                      multipliers, 4, str(tmp_path),
-                                      experiment_id="0dot5_10000_s200")
+    (rates_2, _, _) = rd_sweep.fix_gamma(images, params_mutated, bin_widths, True,
+                                         multipliers, 4, str(tmp_path),
+                                         experiment_id="0dot5_10000_s200")
     assert not numpy.array_equal(rates_1, rates_2)
 
 
