@@ -98,7 +98,8 @@ class PipelinedCompressor:
 
     def __init__(self, params, bin_widths, learn_bin_widths, binary_probabilities,
                  map_mean, idx_map_exception=-1, mesh=None, batch_size=4,
-                 fast_path=None, reconstruct=True):
+                 fast_path=None, reconstruct=True, verify=True,
+                 max_in_flight=4):
         """``fast_path``: None runs the fp32 parity transforms; "bf16w"
         or "int8" runs the serving engine's low-precision transforms
         (``engine.quantized``; bf16 activations, bf16-rounded or
@@ -108,15 +109,30 @@ class PipelinedCompressor:
 
         ``reconstruct=False`` is the compress-only serving mode: the
         decode dispatch and the reconstruction fetch are skipped
-        entirely (the coded round trip still verifies every bitstream),
-        and ``__call__`` returns ``(None, nb_bits_per_image)``. On
-        link-constrained hosts this roughly halves the bytes crossing
+        entirely, and ``__call__`` returns ``(None, nb_bits_per_image)``.
+        On link-constrained hosts this roughly halves the bytes crossing
         the device boundary.
+
+        ``verify=True`` (default) round-trips and asserts every coded
+        map bit-exactly (the reference's discipline,
+        ``compression.py:151-153``); ``verify=False`` is the serving
+        mode that encodes only - same bitstreams and bit counts at
+        about half the coder work, justified by the differential test
+        against the unmodified reference coder plus the per-batch
+        magnitude guard (the verify-decode never fails for in-range
+        symbols; it exists to catch coder bugs, which the differential
+        and self tests pin down ahead of serving).
+
+        ``max_in_flight`` bounds the dispatched-but-uncoded batches: the
+        device runs at most that many batches ahead of the coder, so
+        device memory and host symbol buffers stay O(window), not
+        O(dataset) - the same discipline as
+        ``ContinuousBatcher.max_in_flight``.
         """
         from autoencoder_based_image_compression_tpu.coding.compression import (
-            compress_lossless_maps)
+            compress_lossless_images)
 
-        self._compress_maps = compress_lossless_maps
+        self._compress_images = compress_lossless_images
         if fast_path is not None:
             if fast_path not in ("bf16w", "int8"):
                 raise ValueError(
@@ -143,6 +159,13 @@ class PipelinedCompressor:
         self.idx_map_exception = idx_map_exception
         self.batch_size = batch_size
         self.reconstruct = reconstruct
+        self.verify = verify
+        if max_in_flight < 1:
+            raise ValueError("`max_in_flight` must be >= 1.")
+        self.max_in_flight = max_in_flight
+        # Deepest window observed during the last __call__ (bounded-
+        # memory invariant check; exercised by tests/test_pipeline_e2e).
+        self.peak_in_flight = 0
         (_, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
 
         def _encode_symbols(params, batch_uint8, bin_widths, map_mean):
@@ -186,22 +209,20 @@ class PipelinedCompressor:
         self.encode_symbols_fn = jax.jit(_encode_symbols)
         self.decode_symbols_fn = jax.jit(_decode_symbols)
 
-    def _compress_one(self, symbols_int16):
-        """Codes one image's (h, w, maps) int16 symbols; asserts the
-        bit-exact round trip (reference ``compression.py:151-153``).
-
-        Note: the assert runs in the int16 symbol domain, which is
-        weaker than the reference's centered-quantized *float* domain
-        assert - it cannot see an int16 wraparound on its own. The
-        per-batch ``max_abs`` guard in ``__call__`` is the compensating
-        check (reference ``cast_float_to_int16``, ``tools.py:95-155``).
-        """
-        (rec, bits) = self._compress_maps(
-            symbols_int16, self.binary_probabilities, self.idx_map_exception)
-        numpy.testing.assert_equal(
-            rec, symbols_int16,
-            err_msg="The lossless compression has altered the symbols.")
-        return int(bits.sum())
+    def _dispatch(self, images_uint8, start):
+        """Sends one batch's encode (+ optional decode) to the device
+        and starts the narrow async fetches."""
+        batch = self.put(jnp.asarray(
+            images_uint8[start:start + self.batch_size]))
+        (symbols16, symbols8, batch_max) = self.encode_symbols_fn(
+            self.params, batch, self.bin_widths, self.map_mean)
+        reconstruction = None
+        if self.reconstruct:
+            reconstruction = self.decode_symbols_fn(
+                self.params, symbols16, self.bin_widths, self.map_mean)
+            reconstruction.copy_to_host_async()
+        symbols8.copy_to_host_async()
+        return (start, symbols16, symbols8, batch_max, reconstruction)
 
     def __call__(self, images_uint8):
         """Returns (reconstructions_uint8, nb_bits_per_image).
@@ -212,59 +233,56 @@ class PipelinedCompressor:
         the device dispatches, and the decoder consumes the
         device-resident symbols (no host re-upload). Reconstructions
         come back BT.601-cast uint8 (the codec's output domain).
+
+        Pipeline shape: a sliding window of ``max_in_flight`` dispatched
+        batches runs ahead of the coder. While the C++ pool codes batch
+        i's (images x maps) rows in ONE call (ctypes releases the GIL),
+        the device computes batches i+1..i+window and their narrow
+        fetches stream over the link. In-flight device buffers and host
+        symbol images are bounded by the window, not the dataset.
         """
-        import concurrent.futures
+        import collections
 
         nb = images_uint8.shape[0]
-        bits = [0] * nb
-        # Phase 1 - dispatch EVERYTHING: per batch, the encode and the
-        # decode (on the device-resident symbols, no host re-upload) go
-        # to the device back to back, and the narrow int8 symbol image
-        # plus the uint8 reconstruction start streaming to the host
-        # asynchronously. The device pipelines the batches while the
-        # copies share the link with nothing blocking.
-        inflight = []
-        for start in range(0, nb, self.batch_size):
-            batch = self.put(jnp.asarray(
-                images_uint8[start:start + self.batch_size]))
-            (symbols16, symbols8, batch_max) = self.encode_symbols_fn(
-                self.params, batch, self.bin_widths, self.map_mean)
-            reconstruction = None
-            if self.reconstruct:
-                reconstruction = self.decode_symbols_fn(
-                    self.params, symbols16, self.bin_widths, self.map_mean)
-                reconstruction.copy_to_host_async()
-            symbols8.copy_to_host_async()
-            inflight.append((start, symbols16, symbols8, batch_max,
-                             reconstruction))
-        # Phase 2 - feed the coder thread pool as each batch's symbols
-        # land on the host; the pool codes batch i while batch i+1's
-        # copies are still in flight.
-        reconstructions = []
-        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-            coding_futures = []
-            for (start, symbols16, symbols8, batch_max, reconstruction) in inflight:
-                # Guard before coding this batch: the device-side int16
-                # cast wraps rather than saturating, and wrapped symbols
-                # would round-trip "bit-exactly" through the coder. Same
-                # bound as the reference's cast_float_to_int16
-                # (tools.py:95-155: abs > 32767 raises).
-                max_abs = float(batch_max)
-                if max_abs > 32767.0:
-                    raise OverflowError(
-                        "A symbol magnitude exceeds the int16 range.")
-                if max_abs <= 127.0:
-                    # int8 is exact here; widen on host for the coder.
-                    symbols_host = numpy.asarray(symbols8).astype(numpy.int16)
-                else:
-                    symbols_host = numpy.asarray(symbols16)
-                reconstructions.append(reconstruction)
-                for (j, one) in enumerate(symbols_host):
-                    coding_futures.append(
-                        (start + j, pool.submit(self._compress_one, one)))
-            for (idx, fut) in coding_futures:
-                bits[idx] = fut.result()
+        starts = list(range(0, nb, self.batch_size))
+        bits_per_start = {}
+        recs_per_start = {}
+        inflight = collections.deque()
+        self.peak_in_flight = 0
+        next_idx = 0
+        while next_idx < len(starts) or inflight:
+            while (next_idx < len(starts)
+                   and len(inflight) < self.max_in_flight):
+                inflight.append(self._dispatch(images_uint8, starts[next_idx]))
+                next_idx += 1
+                self.peak_in_flight = max(self.peak_in_flight, len(inflight))
+            (start, symbols16, symbols8, batch_max, reconstruction) = (
+                inflight.popleft())
+            # Guard before coding this batch: the device-side int16
+            # cast wraps rather than saturating, and wrapped symbols
+            # would round-trip "bit-exactly" through the coder. Same
+            # bound as the reference's cast_float_to_int16
+            # (tools.py:95-155: abs > 32767 raises).
+            max_abs = float(batch_max)
+            if max_abs > 32767.0:
+                raise OverflowError(
+                    "A symbol magnitude exceeds the int16 range.")
+            if max_abs <= 127.0:
+                # int8 is exact here; widen on host for the coder.
+                symbols_host = numpy.asarray(symbols8).astype(numpy.int16)
+            else:
+                symbols_host = numpy.asarray(symbols16)
+            # Drop the device buffers as soon as the host copy is
+            # chosen - the wide int16 image in particular must not
+            # accumulate across the window.
+            del symbols16, symbols8
+            bits_per_start[start] = self._compress_images(
+                symbols_host, self.binary_probabilities,
+                self.idx_map_exception, verify=self.verify)
+            if reconstruction is not None:
+                recs_per_start[start] = numpy.asarray(reconstruction)
+        bits = numpy.concatenate([bits_per_start[s] for s in starts])
         if not self.reconstruct:
-            return (None, numpy.asarray(bits))
-        recs = numpy.concatenate([numpy.asarray(r) for r in reconstructions], axis=0)
-        return (recs, numpy.asarray(bits))
+            return (None, bits)
+        recs = numpy.concatenate([recs_per_start[s] for s in starts], axis=0)
+        return (recs, bits)

@@ -17,7 +17,22 @@ from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
     imagemagick_available,
 )
 
-HM_BIN = os.environ.get("AEIC_HM_ENCODER", "/tmp/HM-16.15/bin/TAppEncoderStatic")
+def _find_hm_encoder():
+    """HM binary location: env override, then the repo-local build of
+    the vendored tree (build/build_hm.sh), then the /tmp build the
+    verify recipe describes."""
+    candidates = [os.environ.get("AEIC_HM_ENCODER", "")]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates.append(os.path.join(repo, "build", "HM-16.15", "bin",
+                                   "TAppEncoderStatic"))
+    candidates.append("/tmp/HM-16.15/bin/TAppEncoderStatic")
+    for path in candidates:
+        if path and os.path.isfile(path):
+            return path
+    return candidates[-1]
+
+
+HM_BIN = _find_hm_encoder()
 
 
 def _smooth_luminance(height, width, seed=0):

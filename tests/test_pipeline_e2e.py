@@ -69,6 +69,46 @@ def test_pipelined_compressor_end_to_end(tmp_path):
     numpy.testing.assert_array_equal(nb_bits_only, nb_bits)
 
 
+def test_pipelined_compressor_window_bounds_in_flight_batches():
+    """Streaming over many batches (>=10x the window) must keep the
+    dispatched-but-uncoded window at max_in_flight, produce the same
+    bits as an unbounded pass, and the no-verify serving mode must
+    report identical bit counts (same encoder, no verify-decode)."""
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(5), True)
+    bin_widths = numpy.full(128, 1.0, numpy.float32)
+    rng = numpy.random.default_rng(6)
+    held_out = rng.integers(16, 236, size=(4, 32, 32, 1)).astype(numpy.uint8)
+    # 24 images at batch_size 1 = 24 batches against a window of 2.
+    test_images = rng.integers(16, 236, size=(24, 32, 32, 1)).astype(numpy.uint8)
+
+    y_held_out = encode_mini_batches(held_out, params, True, batch_size=4)
+    map_mean = numpy.mean(y_held_out, axis=(0, 1, 2))
+    probabilities = stats.compute_binary_probabilities(
+        y_held_out, bin_widths, map_mean, truncated_unary_length=10)
+
+    kwargs = dict(batch_size=1, reconstruct=False)
+    windowed = PipelinedCompressor(params, bin_widths, True, probabilities,
+                                   map_mean, max_in_flight=2, **kwargs)
+    (_, bits_windowed) = windowed(test_images)
+    assert windowed.peak_in_flight == 2
+
+    wide = PipelinedCompressor(params, bin_widths, True, probabilities,
+                               map_mean, max_in_flight=64, **kwargs)
+    (_, bits_wide) = wide(test_images)
+    assert wide.peak_in_flight == 24  # window never binds here
+    numpy.testing.assert_array_equal(bits_windowed, bits_wide)
+
+    no_verify = PipelinedCompressor(params, bin_widths, True, probabilities,
+                                    map_mean, max_in_flight=2, verify=False,
+                                    **kwargs)
+    (_, bits_no_verify) = no_verify(test_images)
+    numpy.testing.assert_array_equal(bits_no_verify, bits_windowed)
+
+    with pytest.raises(ValueError):
+        PipelinedCompressor(params, bin_widths, True, probabilities, map_mean,
+                            max_in_flight=0)
+
+
 def test_device_symbols_match_reference_host_quantization():
     """The on-device symbol extraction (round((y - mean)/delta) as int16)
     must reproduce the reference-style host chain: quantize_per_map on
