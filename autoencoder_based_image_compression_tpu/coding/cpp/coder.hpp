@@ -77,6 +77,36 @@ class BitVec {
     return bit;
   }
 
+  // Pulls `n` (<= 16) bits with the FIRST pulled bit as the result's
+  // MSB (the decoder shift-register order: v = (v<<1)|pull() n times).
+  // Past-the-end bits read as 0, like pull().
+  uint32_t pull_msb_first(uint32_t n) {
+    uint32_t value = 0;
+    uint32_t got = 0;
+    while (got < n) {
+      if (read_pos_ >= write_pos_) {
+        return value << (n - got);  // zero-fill the exhausted tail
+      }
+      const std::size_t word = static_cast<std::size_t>(read_pos_ >> 6);
+      const uint64_t source =
+          (word < words_.size()) ? words_[word] : staging_;
+      const uint32_t offset = static_cast<uint32_t>(read_pos_ & 63);
+      uint32_t take = n - got;
+      if (take > 64 - offset) take = 64 - offset;
+      const std::uint64_t left = write_pos_ - read_pos_;
+      if (take > left) take = static_cast<uint32_t>(left);
+      const uint32_t chunk = static_cast<uint32_t>(
+          (source >> offset) & ((1ull << take) - 1));
+      // chunk holds the bits in stored (pull) order at positions
+      // 0..take-1; MSB-first append needs them reversed over `take`.
+      value = (value << take) |
+              (reverse_bits16(chunk) >> (16 - take));
+      read_pos_ += take;
+      got += take;
+    }
+    return value;
+  }
+
   bool exhausted() const { return read_pos_ >= write_pos_; }
   std::uint64_t occupancy_in_bits() const { return write_pos_ - read_pos_; }
   std::uint64_t size_in_bits() const { return write_pos_; }
@@ -114,6 +144,13 @@ class BitVec {
   }
 
  private:
+  static uint32_t reverse_bits16(uint32_t x) {
+    x = ((x & 0x5555u) << 1) | ((x >> 1) & 0x5555u);
+    x = ((x & 0x3333u) << 2) | ((x >> 2) & 0x3333u);
+    x = ((x & 0x0F0Fu) << 4) | ((x >> 4) & 0x0F0Fu);
+    return ((x & 0x00FFu) << 8) | ((x >> 8) & 0x00FFu);
+  }
+
   std::vector<uint64_t> words_;
   std::uint64_t write_pos_ = 0;
   std::uint64_t read_pos_ = 0;
@@ -150,6 +187,18 @@ class RangeCoder16 {
 
   // Same coding behavior as encode() without the per-bit domain check;
   // only for callers that already ran validate_p0 on their table.
+  //
+  // The E1/E2 renormalization is batched: one iteration of the
+  // reference's loop emits one common leading bit of (low, high) and
+  // shifts both left (subtracting kHalf+1 before the shift when the
+  // bit is set is the same as masking to 16 bits after it), and an E3
+  // straddle can never re-create a common leading bit (after an E3
+  // shift the tops still differ). So the number of E1/E2 iterations is
+  // exactly the common-prefix length of low^high, all its bits can be
+  // emitted in one go (queued E3 inversions follow the FIRST emitted
+  // bit only - the queue is empty afterwards), and the shifts collapse
+  // to one. The emitted bitstream is bit-identical to the per-bit loop
+  // (differentially tested against the reference coder).
   void encode_unchecked(uint8_t bit, double p0) {
     split(p0);
     if (bit & 0x1u) {
@@ -157,28 +206,31 @@ class RangeCoder16 {
     } else {
       high_ = middle_;
     }
-    // E1/E2: emit matching top bits; E3: defer straddles.
-    for (;;) {
-      const uint32_t top_high = high_ & kTopBit;
-      if (top_high == (low_ & kTopBit)) {
-        if (top_high != 0) {
-          high_ -= kHalf + 1;
-          low_ -= kHalf + 1;
-        }
-        high_ = (high_ << 1) | 0x1u;
-        low_ <<= 1;
-        const uint8_t out = static_cast<uint8_t>(top_high >> (kPrecision - 1));
-        stream_.push(out);
-        flush_e3(out);
-      } else if (low_ > kQuarter && high_ <= kThreeQuarters) {
-        high_ -= kQuarter + 1;
-        low_ -= kQuarter + 1;
-        high_ = (high_ << 1) | 0x1u;
-        low_ <<= 1;
-        ++nb_e3_;
-      } else {
-        break;
+    const uint32_t diff = (low_ ^ high_) & kRangeMax;
+    const uint32_t n =
+        diff ? static_cast<uint32_t>(__builtin_clz(diff)) - (32 - kPrecision)
+             : kPrecision;
+    if (n != 0) {
+      const uint32_t prefix = low_ >> (kPrecision - n);  // common top bits
+      const uint8_t first = static_cast<uint8_t>((prefix >> (n - 1)) & 0x1u);
+      stream_.push(first);
+      flush_e3(first);
+      if (n > 1) {
+        // Remaining common bits, MSB-first = low (n-1) bits of the
+        // prefix reversed into push order.
+        const uint32_t w = n - 1;
+        const uint32_t tail = prefix & ((1u << w) - 1);
+        stream_.push_bits(reverse_bits(tail) >> (kPrecision - 1 - w), w);
       }
+      low_ = (low_ << n) & kRangeMax;
+      high_ = ((high_ << n) & kRangeMax) | ((1u << n) - 1);
+    }
+    while (low_ > kQuarter && high_ <= kThreeQuarters) {
+      high_ -= kQuarter + 1;
+      low_ -= kQuarter + 1;
+      high_ = (high_ << 1) | 0x1u;
+      low_ <<= 1;
+      ++nb_e3_;
     }
   }
 
@@ -207,7 +259,12 @@ class RangeCoder16 {
     return decode_unchecked(p0);
   }
 
-  // Counterpart of encode_unchecked for decoding.
+  // Counterpart of encode_unchecked for decoding, with the E1/E2
+  // renormalization batched the same way (see encode_unchecked): the
+  // E1/E2 iteration count equals the common-prefix length of
+  // (low, high), the subtract-then-shift equals shift-then-mask, and
+  // code_ refills its shifted-out bits from the stream in one
+  // multi-bit read. State trajectory is identical to the per-bit loop.
   uint8_t decode_unchecked(double p0) {
     split(p0);
     uint8_t bit = 0;
@@ -218,20 +275,19 @@ class RangeCoder16 {
       low_ = middle_ + 1;
       bit = 1;
     }
-    for (;;) {
-      if (high_ <= kHalf) {
-        // E1: nothing to subtract.
-      } else if (low_ > kHalf) {
-        high_ -= kHalf + 1;
-        low_ -= kHalf + 1;
-        code_ -= kHalf + 1;
-      } else if (high_ <= kThreeQuarters && low_ > kQuarter) {
-        high_ -= kQuarter + 1;
-        low_ -= kQuarter + 1;
-        code_ -= kQuarter + 1;
-      } else {
-        break;
-      }
+    const uint32_t diff = (low_ ^ high_) & kRangeMax;
+    const uint32_t n =
+        diff ? static_cast<uint32_t>(__builtin_clz(diff)) - (32 - kPrecision)
+             : kPrecision;
+    if (n != 0) {
+      low_ = (low_ << n) & kRangeMax;
+      high_ = ((high_ << n) & kRangeMax) | ((1u << n) - 1);
+      code_ = ((code_ << n) & kRangeMax) | stream_.pull_msb_first(n);
+    }
+    while (low_ > kQuarter && high_ <= kThreeQuarters) {
+      high_ -= kQuarter + 1;
+      low_ -= kQuarter + 1;
+      code_ -= kQuarter + 1;
       high_ = ((high_ << 1) & kRangeMax) | 0x1u;
       low_ = (low_ << 1) & kRangeMax;
       code_ = ((code_ << 1) & kRangeMax) | stream_.pull();
@@ -240,6 +296,16 @@ class RangeCoder16 {
   }
 
  private:
+  // Bit reversal over kPrecision-1 = 15 bits (the widest possible
+  // common-prefix tail after the first emitted bit).
+  static uint32_t reverse_bits(uint32_t x) {
+    x = ((x & 0x5555u) << 1) | ((x >> 1) & 0x5555u);
+    x = ((x & 0x3333u) << 2) | ((x >> 2) & 0x3333u);
+    x = ((x & 0x0F0Fu) << 4) | ((x >> 4) & 0x0F0Fu);
+    x = ((x & 0x00FFu) << 8) | ((x >> 8) & 0x00FFu);  // reversed over 16
+    return x >> 1;                                     // over 15
+  }
+
   void split(double p0) {
     // p0 was validated before the hot loop (validate_p0). The cast's
     // truncation equals std::floor for this non-negative product, so

@@ -190,6 +190,27 @@ static void test_bitvec_push_bits_matches_single_pushes() {
   CHECK(chunked.exhausted());
 }
 
+static void test_bitvec_pull_msb_first_matches_single_pulls() {
+  // pull_msb_first(n) must equal n iterations of v = (v<<1)|pull(),
+  // including the zero-fill past the end of the stream.
+  std::mt19937 rng(7);
+  aeic::BitVec a, b;
+  const uint32_t total = 4001;  // odd: exercises the exhausted tail
+  for (uint32_t i = 0; i < total; ++i) {
+    const uint8_t bit = static_cast<uint8_t>(rng() & 1u);
+    a.push(bit);
+    b.push(bit);
+  }
+  std::uint64_t consumed = 0;
+  while (consumed < total + 32) {  // run past the end
+    const uint32_t n = 1 + rng() % 16;
+    uint32_t expected = 0;
+    for (uint32_t i = 0; i < n; ++i) expected = (expected << 1) | b.pull();
+    CHECK(a.pull_msb_first(n) == expected);
+    consumed += n;
+  }
+}
+
 static void test_encode_only_batch_matches_verifying_batch() {
   // flags=1 (encode-only) must report the exact bit counts of the
   // verifying round trip - it is the same encoder, minus the decode.
@@ -218,6 +239,7 @@ static void test_encode_only_batch_matches_verifying_batch() {
 int main() {
   test_bitvec_roundtrip();
   test_bitvec_push_bits_matches_single_pushes();
+  test_bitvec_pull_msb_first_matches_single_pulls();
   test_encode_only_batch_matches_verifying_batch();
   test_range_coder_roundtrip();
   test_range_coder_rejects_bad_probability();

@@ -207,7 +207,10 @@ def _gdn_fast(x, gamma, beta, inverse, use_pallas):
         from autoencoder_based_image_compression_tpu.ops.pallas.gdn_kernel import (
             gdn_pallas)
 
-        return gdn_pallas(x.astype(jnp.float32), gamma, beta, inverse=inverse)
+        # Dtype-preserving: a bf16 activation stream stays bf16 through
+        # the kernel (gdn_lowp semantics), matching the XLA fast path
+        # byte for byte in HBM traffic.
+        return gdn_pallas(x, gamma, beta, inverse=inverse)
     if x.dtype == jnp.bfloat16:
         # Fast path keeps activations bf16 *through* the normalization:
         # at the H/4 feature resolution GDN is HBM-bandwidth-bound, so

@@ -25,15 +25,20 @@ DEFAULT_BLOCK_ROWS = 512
 
 def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse):
     x = x_ref[:]
-    # HIGHEST precision: the default bf16 MXU passes cost ~2e-3 absolute
-    # error, which the 0.05 dB PSNR parity budget cannot absorb.
-    pool = jnp.dot(x * x, gamma_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    pool = pool + beta_ref[:]
-    if inverse:
-        out_ref[:] = x * jnp.sqrt(pool)
+    if x.dtype == jnp.bfloat16:
+        # Serving-path semantics = ops.gdn.gdn_lowp: bf16 operands into
+        # the MXU, fp32 accumulation, fp32 sqrt/rsqrt, bf16 out.
+        pool = jnp.dot(x * x, gamma_ref[:],
+                       preferred_element_type=jnp.float32)
     else:
-        out_ref[:] = x * jax.lax.rsqrt(pool)
+        # HIGHEST precision: the default bf16 MXU passes cost ~2e-3
+        # absolute error, which the 0.05 dB PSNR parity budget cannot
+        # absorb on the fp32 parity path.
+        pool = jnp.dot(x * x, gamma_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    pool = pool + beta_ref[:]
+    scale = jnp.sqrt(pool) if inverse else jax.lax.rsqrt(pool)
+    out_ref[:] = (x.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 def _gdn_quantize_kernel(x_ref, gamma_ref, beta_ref, bw_ref, out_ref, *, inverse):
@@ -59,6 +64,8 @@ def gdn_pallas_2d(x, gamma, beta, inverse=False, block_rows=DEFAULT_BLOCK_ROWS,
     (it is 128 in the codec).
     """
     (rows, channels) = x.shape
+    gamma = gamma.astype(x.dtype)   # bf16 inputs keep the MXU pass bf16
+    beta = beta.astype(jnp.float32)
     padded = _pad_rows(rows, block_rows)
     if padded != rows:
         x = jnp.pad(x, ((0, padded - rows), (0, 0)))

@@ -52,7 +52,18 @@ TRAINED_ARTIFACT = os.path.join(
     "params_trained.npz")
 
 
+# AEIC_BENCH_SMOKE=1 shrinks every workload (tiny images, short scans)
+# so the bench's code paths can be exercised on CPU in seconds; the
+# printed numbers are then meaningless and the metric name says so.
+SMOKE = os.environ.get("AEIC_BENCH_SMOKE", "") not in ("", "0")
+
+
 def _kodak_batch():
+    if SMOKE:
+        from autoencoder_based_image_compression_tpu.data.synthetic import (
+            synthetic_luminance_stack)
+
+        return synthetic_luminance_stack(4, 64, 96, seed=0)
     path = os.path.join(os.path.dirname(__file__), "data", "kodak", "kodak.npy")
     if os.path.isfile(path):
         images = numpy.load(path)
@@ -85,7 +96,7 @@ def _distinct_stack(images_f32, nb_scan):
 def _timeit(fn, repeats=5):
     fn()  # warmup / compile
     times = []
-    for _ in range(repeats):
+    for _ in range(1 if SMOKE else repeats):
         start = time.perf_counter()
         fn()
         times.append(time.perf_counter() - start)
@@ -150,7 +161,7 @@ def main():
     # engine runs. Per-batch host dispatch would mostly measure this
     # environment's ~27 ms tunnel latency; the device computes a
     # Kodak-24 roundtrip in a few ms.
-    NB_SCAN = 8
+    NB_SCAN = 2 if SMOKE else 8
     NB_IN_FLIGHT = 2
     images_f32 = images.astype(numpy.float32)
     stack_all = jax.device_put(jnp.asarray(_distinct_stack(images_f32, NB_SCAN)))
@@ -203,25 +214,46 @@ def main():
     # --- fast-path fidelity vs the fp32 parity path, per variant, on
     # the actual weights used above (trained when the artifact exists):
     # recon-vs-recon PSNR and the end-to-end PSNR-vs-original delta
-    # (the number the <=0.05 dB parity gate is about).
-    rec_fp32 = cast_bt601(numpy.asarray(
-        roundtrip(params, batch_all, bin_widths))[..., 0])
+    # (the number the <=0.05 dB parity gate is about). The gate binds
+    # the WORST image, not the batch mean, and is additionally probed
+    # across the bin-width-multiplier sweep's larger multipliers where
+    # low-precision symbol flips concentrate
+    # (reconstructing_eae_kodak.py:612-623's ladder).
     orig = cast_bt601(images[..., 0].astype(numpy.float32))
-    psnr_parity = numpy.mean([psnr_2d(orig[i], rec_fp32[i])
-                              for i in range(rec_fp32.shape[0])])
+    GATE_MULTIPLIERS = (1.0, 4.0, 10.0)
+    rec_fp32_per_mult = {}
+    psnr_fp32_per_mult = {}
+    for mult in GATE_MULTIPLIERS:
+        rec_m = cast_bt601(numpy.asarray(
+            roundtrip(params, batch_all, bin_widths * mult))[..., 0])
+        rec_fp32_per_mult[mult] = rec_m
+        psnr_fp32_per_mult[mult] = numpy.array(
+            [psnr_2d(orig[i], rec_m[i]) for i in range(rec_m.shape[0])])
+    rec_fp32 = rec_fp32_per_mult[1.0]
     fidelity = {}
     psnr_delta = {}
-    for (tag, (qp, qf)) in variants.items():
-        (recs_fast, _) = jax.jit(engine.fast_roundtrip_scan)(
-            qp, qf, batch_all[None], bin_widths)
-        rec_fast = cast_bt601(numpy.asarray(recs_fast[0])[..., 0])
-        fidelity[tag] = numpy.mean([
-            psnr_2d(rec_fp32[i], rec_fast[i]) if not numpy.array_equal(
-                rec_fp32[i], rec_fast[i]) else 99.0
-            for i in range(rec_fp32.shape[0])])
-        psnr_delta[tag] = numpy.mean([psnr_2d(orig[i], rec_fast[i])
-                                      for i in range(rec_fast.shape[0])
-                                      ]) - psnr_parity
+    psnr_delta_worst = {}
+    fast_scan = jax.jit(engine.fast_roundtrip_scan)
+    for (tag, (qp, _)) in variants.items():
+        worst = numpy.inf
+        for mult in GATE_MULTIPLIERS:
+            bw_m = bin_widths * mult
+            folded_m = engine.fold_bin_widths_into_decoder(params, bw_m)
+            qf_m = (engine.quantize_params_int8(folded_m) if tag == "int8"
+                    else engine.bf16_weight_params(folded_m))
+            (recs_fast, _) = fast_scan(qp, qf_m, batch_all[None], bw_m)
+            rec_fast = cast_bt601(numpy.asarray(recs_fast[0])[..., 0])
+            deltas = numpy.array(
+                [psnr_2d(orig[i], rec_fast[i])
+                 for i in range(rec_fast.shape[0])]) - psnr_fp32_per_mult[mult]
+            worst = min(worst, float(deltas.min()))
+            if mult == 1.0:
+                fidelity[tag] = numpy.mean([
+                    psnr_2d(rec_fp32[i], rec_fast[i]) if not numpy.array_equal(
+                        rec_fp32[i], rec_fast[i]) else 99.0
+                    for i in range(rec_fp32.shape[0])])
+                psnr_delta[tag] = float(deltas.mean())
+        psnr_delta_worst[tag] = worst
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():
@@ -244,6 +276,8 @@ def main():
     coded_mpix = None
     coded_fast_mpix = None
     coded_compress_only_mpix = None
+    coded_noverify_mpix = None
+    coder_msym = None
     stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
 
     def _stats_match_artifact():
@@ -304,9 +338,43 @@ def main():
             idx_exc, batch_size=8, reconstruct=False)
         coded_co_seconds = _timeit(lambda: compressor_co(images), repeats=3)
         coded_compress_only_mpix = nb_pixels / coded_co_seconds / 1.0e6
+        # Same workload with the verify-decode skipped (encode-only
+        # coder entry; identical bitstreams - see the differential and
+        # self tests).
+        compressor_nv = PipelinedCompressor(
+            params, bin_widths, learn_bin_widths, probabilities, map_mean,
+            idx_exc, batch_size=8, reconstruct=False, verify=False)
+        coded_nv_seconds = _timeit(lambda: compressor_nv(images), repeats=3)
+        coded_noverify_mpix = nb_pixels / coded_nv_seconds / 1.0e6
+
+        # Coder in isolation (no device, no link): Msym/s of the C++
+        # pool on this host over the actual trained-model symbols of
+        # the whole stack - separates the coder ceiling from the
+        # tunnel-bound serving numbers above.
+        from autoencoder_based_image_compression_tpu.coding.compression import (
+            compress_lossless_images)
+
+        symbol_batches = []
+        for start in range(0, images.shape[0], 8):
+            (s16, s8, bmax) = compressor_co.encode_symbols_fn(
+                compressor_co.params, jnp.asarray(images[start:start + 8]),
+                compressor_co.bin_widths, compressor_co.map_mean)
+            symbol_batches.append(
+                numpy.asarray(s8).astype(numpy.int16)
+                if float(bmax) <= 127.0 else numpy.asarray(s16))
+        symbols_all = numpy.concatenate(symbol_batches, axis=0)
+        nb_symbols = symbols_all.size
+        coder_msym = {}
+        for (mode, verify) in (("roundtrip", True), ("encode_only", False)):
+            seconds = _timeit(
+                lambda v=verify: compress_lossless_images(
+                    symbols_all, probabilities, idx_exc, verify=v),
+                repeats=3)
+            coder_msym[mode] = nb_symbols / seconds / 1.0e6
 
     print(json.dumps({
-        "metric": "kodak24_encode_decode_throughput",
+        "metric": ("SMOKE_kodak24_encode_decode_throughput" if SMOKE
+                   else "kodak24_encode_decode_throughput"),
         "value": round(mpix_per_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_per_s / baseline_mpix, 3),
@@ -318,6 +386,8 @@ def main():
                                  for (tag, v) in fidelity.items()},
         "psnr_delta_vs_fp32_db": {tag: round(float(v), 4)
                                   for (tag, v) in psnr_delta.items()},
+        "psnr_delta_vs_fp32_worst_db": {tag: round(float(v), 4)
+                                        for (tag, v) in psnr_delta_worst.items()},
         "true_bitstream_fast_mpix_per_s": (round(coded_fast_mpix, 3)
                                            if coded_fast_mpix is not None
                                            else None),
@@ -326,6 +396,12 @@ def main():
             if coded_compress_only_mpix is not None else None),
         "true_bitstream_mpix_per_s": (round(coded_mpix, 3)
                                       if coded_mpix is not None else None),
+        "true_bitstream_compress_only_noverify_mpix_per_s": (
+            round(coded_noverify_mpix, 3)
+            if coded_noverify_mpix is not None else None),
+        "coder_msym_per_s": ({mode: round(v, 2)
+                              for (mode, v) in coder_msym.items()}
+                             if coder_msym is not None else None),
         "weights": weights_kind,
     }))
 

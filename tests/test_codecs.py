@@ -19,7 +19,7 @@ from autoencoder_based_image_compression_tpu.codecs.jpeg2000 import (
 
 def _find_hm_encoder():
     """HM binary location: env override, then the repo-local build of
-    the vendored tree (build/build_hm.sh), then the /tmp build the
+    the vendored tree (scripts/build_hm.sh), then the /tmp build the
     verify recipe describes."""
     candidates = [os.environ.get("AEIC_HM_ENCODER", "")]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
