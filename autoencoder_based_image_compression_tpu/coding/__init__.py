@@ -6,6 +6,7 @@ sequential bit-twiddling while the TPU decodes the previous batch.
 """
 
 from autoencoder_based_image_compression_tpu.coding.compression import (
+    compress_lossless_images,
     compress_lossless_maps,
     rescale_compress_lossless_maps,
 )

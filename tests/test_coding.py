@@ -79,6 +79,28 @@ def test_compress_lossless_maps_with_exception():
     assert nb_bits[2] == expected_exception.astype(numpy.uint32)
 
 
+def test_compress_lossless_images_matches_per_image_maps():
+    """The batch-of-images serving entry must report exactly the bit
+    totals of the per-image compress_lossless_maps path, in both the
+    verifying and the encode-only modes."""
+    rng = numpy.random.default_rng(11)
+    stack = numpy.round(_laplace_maps(rng, (3, 16, 24, 4), 1.0)).astype(numpy.int16)
+    probs = numpy.stack([
+        _tu_probabilities(stack[:, :, :, i].ravel(), 10) for i in range(4)])
+    from autoencoder_based_image_compression_tpu.coding.compression import (
+        compress_lossless_images)
+
+    bits_batch = compress_lossless_images(stack, probs, idx_map_exception=1)
+    bits_noverify = compress_lossless_images(stack, probs, idx_map_exception=1,
+                                             verify=False)
+    numpy.testing.assert_array_equal(bits_batch, bits_noverify)
+    for i in range(stack.shape[0]):
+        (rec, bits_maps) = compress_lossless_maps(stack[i], probs,
+                                                  idx_map_exception=1)
+        numpy.testing.assert_array_equal(rec, stack[i])
+        assert int(bits_maps.sum()) == int(bits_batch[i])
+
+
 def test_rescale_compress_lossless_maps_roundtrip():
     rng = numpy.random.default_rng(4)
     bin_widths = numpy.array([0.5, 1.0, 1.5], dtype=numpy.float32)
