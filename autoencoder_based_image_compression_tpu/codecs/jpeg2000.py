@@ -28,8 +28,12 @@ from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
 from autoencoder_based_image_compression_tpu.utils.image import read_image_mode, save_image
 
 # Compression ratios sweeping the reference's operating range
-# (~0.1 - 1.2 bpp on 8-bit luminance) - the Pillow-backend ladder.
-DEFAULT_RATIOS = (80, 64, 48, 32, 24, 16, 12, 8)
+# (~0.1 - 1.2 bpp on 8-bit luminance) - the Pillow-backend ladder -
+# extended toward lower quality (ratios up to 600) so the anchor's PSNR
+# range reaches down to overlap learned-codec curves and the
+# Bjontegaard summary is computable (the round-3 study's anchor never
+# dropped below ~31.5 dB while the EAE curves topped out below it).
+DEFAULT_RATIOS = (600, 400, 300, 220, 160, 120, 80, 64, 48, 32, 24, 16, 12, 8)
 
 # The reference's ImageMagick -quality ladder
 # (reconstructing_eae_kodak.py:653).

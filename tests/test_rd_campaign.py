@@ -86,6 +86,36 @@ def test_reconstruct_kodak_ladder_flags(tmp_path, capsys):
     assert "1 RD curves written" in out
 
 
+def test_reconstruct_kodak_anchor_curves_cached(tmp_path):
+    """The JPEG2000 anchor is cached keyed by backend+ladder+content:
+    a second run must not recompute it, and a different ladder must
+    miss the cache (anchor recomputation dominated study-regeneration
+    time in round 3)."""
+    import numpy
+
+    from autoencoder_based_image_compression_tpu.cli import reconstruct_kodak
+
+    rng = numpy.random.default_rng(0)
+    kodak = str(tmp_path / "kodak.npy")
+    numpy.save(kodak, rng.integers(16, 236, size=(2, 32, 32)).astype(numpy.uint8))
+    out = tmp_path / "out"
+    args = ["--jpeg2000_ladder", "24", "12",
+            "--path_to_kodak", kodak,
+            "--results_root", str(tmp_path / "none"),
+            "--cache_dir", str(out)]
+    reconstruct_kodak.main(args)
+    cached = sorted(out.glob("rates_jpeg2000_*.npy"))
+    assert len(cached) == 1
+    mtime = cached[0].stat().st_mtime_ns
+    reconstruct_kodak.main(args)
+    assert cached[0].stat().st_mtime_ns == mtime  # untouched: cache hit
+    reconstruct_kodak.main(["--jpeg2000_ladder", "24", "16",
+                            "--path_to_kodak", kodak,
+                            "--results_root", str(tmp_path / "none"),
+                            "--cache_dir", str(out)])
+    assert len(sorted(out.glob("rates_jpeg2000_*.npy"))) == 2  # new key
+
+
 def test_micro_campaign_ladder_vmap(tmp_path):
     """Same micro campaign driven through the vmapped whole-ladder
     trainer (one program trains every fixed-bw gamma simultaneously)."""
