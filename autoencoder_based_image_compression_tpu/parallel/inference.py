@@ -222,6 +222,7 @@ class PipelinedCompressor:
                 self.params, symbols16, self.bin_widths, self.map_mean)
             reconstruction.copy_to_host_async()
         symbols8.copy_to_host_async()
+        batch_max.copy_to_host_async()
         return (start, symbols16, symbols8, batch_max, reconstruction)
 
     def __call__(self, images_uint8):
