@@ -63,9 +63,28 @@ def _clean_partial(exp_dirs, idx_model):
                 print(f"[resilient] removed partial {path}", flush=True)
 
 
-def _run_part(argv_tail, exp_dirs, idx_model, timeout_s, label, retries=2):
+def _newest_mtime(exp_dirs, idx_model):
+    newest = 0.0
+    for exp_dir in exp_dirs:
+        for ext in (".npz", ".json"):
+            path = os.path.join(exp_dir, f"model_{idx_model}{ext}")
+            if os.path.isfile(path):
+                newest = max(newest, os.path.getmtime(path))
+    return newest
+
+
+def _run_part(argv_tail, exp_dirs, idx_model, timeout_s, label, retries=4,
+              stall_s=300):
     """Runs one training part in a fresh subprocess; cleans + retries on
-    timeout or failure."""
+    stall, timeout or failure.
+
+    Stall detection is progress-based: the training CLIs save a
+    checkpoint after EVERY epoch (~40-75 s apart), so `stall_s` seconds
+    without a checkpoint write means the client is wedged on a device
+    response - kill and retry immediately instead of waiting out the
+    full part timeout. Startup (data upload + compile-cache load) gets
+    the same allowance from process start.
+    """
     if all(_part_complete(d, idx_model) for d in exp_dirs):
         print(f"[resilient] {label}: model_{idx_model} complete, skipping",
               flush=True)
@@ -75,12 +94,26 @@ def _run_part(argv_tail, exp_dirs, idx_model, timeout_s, label, retries=2):
         t0 = time.time()
         print(f"[resilient] {label}: starting (attempt {attempt + 1})",
               flush=True)
-        try:
-            proc = subprocess.run([sys.executable, "-m"] + argv_tail,
-                                  cwd=REPO, timeout=timeout_s)
-            status = proc.returncode
-        except subprocess.TimeoutExpired:
-            status = "timeout"
+        proc = subprocess.Popen([sys.executable, "-m"] + argv_tail, cwd=REPO)
+        status = None
+        while True:
+            try:
+                status = proc.wait(timeout=15)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            now = time.time()
+            last_progress = max(_newest_mtime(exp_dirs, idx_model), t0)
+            if now - last_progress > stall_s:
+                proc.kill()
+                proc.wait()
+                status = "stalled"
+                break
+            if now - t0 > timeout_s:
+                proc.kill()
+                proc.wait()
+                status = "timeout"
+                break
         took = time.time() - t0
         if status == 0 and all(_part_complete(d, idx_model) for d in exp_dirs):
             print(f"[resilient] {label}: done in {took:.0f} s", flush=True)
