@@ -74,7 +74,7 @@ def _newest_mtime(exp_dirs, idx_model):
 
 
 def _run_part(argv_tail, exp_dirs, idx_model, timeout_s, label, retries=4,
-              stall_s=300):
+              stall_s=180, cooldown_s=20):
     """Runs one training part in a fresh subprocess; cleans + retries on
     stall, timeout or failure.
 
@@ -91,6 +91,10 @@ def _run_part(argv_tail, exp_dirs, idx_model, timeout_s, label, retries=4,
         return
     for attempt in range(retries + 1):
         _clean_partial(exp_dirs, idx_model)
+        # Cool-down before (re)connecting: the observed wedges cluster
+        # on fresh connects right after another client exited, so give
+        # the tunnel a moment to release the previous grant.
+        time.sleep(cooldown_s)
         t0 = time.time()
         print(f"[resilient] {label}: starting (attempt {attempt + 1})",
               flush=True)
