@@ -235,7 +235,7 @@ def main():
     psnr_delta_worst = {}
     fast_scan = jax.jit(engine.fast_roundtrip_scan)
     for (tag, (qp, _)) in variants.items():
-        worst = numpy.inf
+        per_mult_worst = {}
         for mult in GATE_MULTIPLIERS:
             bw_m = bin_widths * mult
             folded_m = engine.fold_bin_widths_into_decoder(params, bw_m)
@@ -246,14 +246,14 @@ def main():
             deltas = numpy.array(
                 [psnr_2d(orig[i], rec_fast[i])
                  for i in range(rec_fast.shape[0])]) - psnr_fp32_per_mult[mult]
-            worst = min(worst, float(deltas.min()))
+            per_mult_worst[f"x{mult:g}"] = float(deltas.min())
             if mult == 1.0:
                 fidelity[tag] = numpy.mean([
                     psnr_2d(rec_fp32[i], rec_fast[i]) if not numpy.array_equal(
                         rec_fp32[i], rec_fast[i]) else 99.0
                     for i in range(rec_fp32.shape[0])])
                 psnr_delta[tag] = float(deltas.mean())
-        psnr_delta_worst[tag] = worst
+        psnr_delta_worst[tag] = per_mult_worst
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():
@@ -386,8 +386,9 @@ def main():
                                  for (tag, v) in fidelity.items()},
         "psnr_delta_vs_fp32_db": {tag: round(float(v), 4)
                                   for (tag, v) in psnr_delta.items()},
-        "psnr_delta_vs_fp32_worst_db": {tag: round(float(v), 4)
-                                        for (tag, v) in psnr_delta_worst.items()},
+        "psnr_delta_vs_fp32_worst_db": {
+            tag: {m: round(v, 4) for (m, v) in worst.items()}
+            for (tag, worst) in psnr_delta_worst.items()},
         "true_bitstream_fast_mpix_per_s": (round(coded_fast_mpix, 3)
                                            if coded_fast_mpix is not None
                                            else None),
