@@ -10,6 +10,7 @@ sweeps, JPEG2000 qualities {24..40}, HEVC QPs {22..47}.
 
 import argparse
 import collections
+import hashlib
 import os
 import pickle
 
@@ -289,7 +290,19 @@ def main(args=None):
         from autoencoder_based_image_compression_tpu.codecs.hevc import evaluate_hevc
 
         qps = HEVC_QPS if args.hevc_qps is None else args.hevc_qps
-        hevc_tag = f"hevc_qp{'-'.join(str(q) for q in qps)}_{images_tag}"
+        # The cache tag folds in the encoder binary's identity (content
+        # hash) the way the JPEG2000 tag folds in its backend: switching
+        # HM builds must not silently reuse stale curves.
+        try:
+            digest = hashlib.sha1()
+            with open(args.hevc_encoder, "rb") as file:
+                for chunk in iter(lambda: file.read(1 << 20), b""):
+                    digest.update(chunk)
+            encoder_id = digest.hexdigest()[:10]
+        except OSError:
+            encoder_id = "missing"
+        hevc_tag = (f"hevc_{encoder_id}_"
+                    f"qp{'-'.join(str(q) for q in qps)}_{images_tag}")
         (rates_hevc, psnrs_hevc) = _cached_anchor(
             hevc_tag,
             lambda: evaluate_hevc(images, qps, args.hevc_encoder))
@@ -314,7 +327,9 @@ def main(args=None):
     eae_curves = [(label, r, p) for (r, p, label, _) in curves
                   if label.startswith("EAE")]
     from autoencoder_based_image_compression_tpu.ops.metrics import (
-        compute_bjontegaard)
+        bjontegaard_fit_quality,
+        compute_bjontegaard,
+    )
 
     summaries = {}
     for (eae_label, eae_r, eae_p) in eae_curves:
@@ -328,13 +343,27 @@ def main(args=None):
                       f"(PSNR ranges overlap by {overlap:.2f} dB)")
                 continue
             try:
-                delta = compute_bjontegaard(anchor_r, anchor_p, eae_r, eae_p)
+                delta = compute_bjontegaard(anchor_r, anchor_p, eae_r, eae_p,
+                                            warn=False)
             except Exception as error:
                 print(f"Bjontegaard {eae_label} vs {anchor_label} failed: {error}")
                 continue
-            summaries[f"{eae_label} vs {anchor_label}"] = delta
+            # The pickle carries the fit-quality flags next to every
+            # number (overlap width + cubic monotonicity): the cubic
+            # fit's short-budget instability must be visible wherever
+            # the summary circulates, not only in BASELINE.md prose.
+            quality = bjontegaard_fit_quality(anchor_r, anchor_p, eae_r, eae_p)
+            summaries[f"{eae_label} vs {anchor_label}"] = {
+                "delta_pct": delta, "fit_quality": quality}
+            caveat = ("" if quality["reliable"]
+                      else "  [fit quality: "
+                           f"overlap {quality['overlap_db']:.2f} dB"
+                           f"{', narrow' if quality['narrow_overlap'] else ''}"
+                           f"{'' if quality['monotone_0'] else ', anchor cubic non-monotone'}"
+                           f"{'' if quality['monotone_1'] else ', EAE cubic non-monotone'}"
+                           "]")
             print(f"Bjontegaard {eae_label} vs {anchor_label}: "
-                  f"{delta:+.2f}% bitrate")
+                  f"{delta:+.2f}% bitrate{caveat}")
     if summaries:
         with open(os.path.join(args.cache_dir, "dictionary_bjontegaard.pkl"),
                   "wb") as file:

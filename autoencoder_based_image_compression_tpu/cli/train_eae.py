@@ -71,6 +71,15 @@ def build_parser():
                         default="data/imagenet/validation_data.npy")
     parser.add_argument("--results_root", default="results/eae")
     parser.add_argument("--seed", type=int_positive, default=0)
+    parser.add_argument("--bw_warmup_steps", type=int_positive, default=0,
+                        help="cold-start mitigation for --learn_bin_widths: "
+                             "while step < this, the bin-width upper clip is "
+                             "tightened to --bw_warmup_max so the rate "
+                             "gradient rescales the transform instead of "
+                             "inflating the quantizer (BASELINE.md round-4 "
+                             "pathology); 0 disables")
+    parser.add_argument("--bw_warmup_max", type=float_strictly_positive,
+                        default=1.0)
     return parser
 
 
@@ -124,7 +133,9 @@ def main(args=None):
     if args.idx_training > 0:
         state = load_checkpoint(path_prev, state)
 
-    step_fns = make_step_fns(args.gamma, args.learn_bin_widths)
+    step_fns = make_step_fns(args.gamma, args.learn_bin_widths,
+                             bw_warmup_steps=args.bw_warmup_steps,
+                             bw_warmup_max=args.bw_warmup_max)
     key = jax.random.PRNGKey(args.seed + 1000 * args.idx_training + 1)
 
     t_start = time.time()

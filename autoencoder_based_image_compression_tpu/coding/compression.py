@@ -96,6 +96,8 @@ def compress_lossless_images(symbols_int16, binary_probabilities,
         raise ValueError("`symbols_int16.ndim` is not equal to 4.")
     if isinstance(binary_probabilities, str):
         binary_probabilities = numpy.load(binary_probabilities)
+    if binary_probabilities.ndim != 2:
+        raise ValueError("`binary_probabilities.ndim` is not equal to 2.")
     (nb_images, height_map, width_map, nb_maps) = symbols_int16.shape
     if binary_probabilities.shape[0] != nb_maps:
         raise ValueError("`binary_probabilities.shape[0]` != `symbols_int16.shape[3]`.")

@@ -145,7 +145,10 @@ int aeic_encode_map(uint32_t size, const int16_t* input, uint8_t tu_len,
                     uint8_t* bypass_buffer, uint32_t bypass_capacity_bytes,
                     uint32_t* bac_bits, uint32_t* bypass_bits) {
   if (input == nullptr || probabilities == nullptr || bac_buffer == nullptr ||
-      bypass_buffer == nullptr || bac_bits == nullptr || bypass_bits == nullptr) {
+      bypass_buffer == nullptr || bac_bits == nullptr || bypass_bits == nullptr ||
+      tu_len == 0) {
+    // tu_len == 0 would read probs_[0] out of bounds in the truncated-
+    // unary writer (Ueg0Codec precondition; every C entry enforces it).
     return 1;
   }
   try {
@@ -176,7 +179,7 @@ int aeic_decode_map(uint32_t size, int16_t* output, uint8_t tu_len,
                     const uint8_t* bac_buffer, uint32_t bac_bits,
                     const uint8_t* bypass_buffer, uint32_t bypass_bits) {
   if (output == nullptr || probabilities == nullptr || bac_buffer == nullptr ||
-      bypass_buffer == nullptr) {
+      bypass_buffer == nullptr || tu_len == 0) {
     return 1;
   }
   try {

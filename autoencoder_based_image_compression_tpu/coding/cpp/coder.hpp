@@ -18,6 +18,7 @@
 
 #pragma once
 
+#include <cassert>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -53,8 +54,11 @@ class BitVec {
 
   // Appends `n` bits at once; bit i of `value` becomes the i-th pushed
   // bit (bits of `value` at positions >= n must be zero). n <= 57 so
-  // the straddle below spills at most one word.
+  // the straddle below spills at most one word. The preconditions are
+  // asserted so a violating caller fails loudly in test builds instead
+  // of silently corrupting the stream.
   void push_bits(uint64_t value, uint32_t n) {
+    assert(n <= 57 && (n == 64 || (value >> n) == 0));
     const uint32_t offset = static_cast<uint32_t>(write_pos_ & 63);
     staging_ |= value << offset;
     write_pos_ += n;

@@ -27,6 +27,13 @@ from autoencoder_based_image_compression_tpu.models import conv_eae
 
 _CONV_NAMES = ("weights_1", "weights_2", "weights_3", "weights_4", "weights_5",
                "weights_6")
+
+# The "bf16w+" serving default: the cheapest precision mix whose WORST
+# per-image PSNR delta vs the fp32 parity path stays inside the 0.05 dB
+# gate at every probed bin-width multiplier (measured on chip by
+# scripts/gate_probe.py - see BASELINE.md round 5).
+BF16WPLUS_ENC_TAIL = 1
+BF16WPLUS_DEC_TAIL = 1
 # Output-channel axis of each kernel: encoder convs are HWIO (out = O,
 # axis 3); decoder tconv kernels are stored (kh, kw, tconv_out, tconv_in)
 # so their output axis is 2.
@@ -34,7 +41,41 @@ _OUT_AXIS = {"weights_1": 3, "weights_2": 3, "weights_3": 3,
              "weights_4": 2, "weights_5": 2, "weights_6": 2}
 
 
-def bf16_weight_params(params):
+def _fp32_tail_names(fp32_tail):
+    """Decoder kernels kept fp32 for a given tail level.
+
+    Level 1 keeps the final 9x9 transposed conv fp32; level 2 also the
+    5x5 tconv_5; level 3 the whole synthesis transform.
+    """
+    if fp32_tail <= 0:
+        return frozenset()
+    if fp32_tail == 1:
+        return frozenset(("weights_6",))
+    if fp32_tail == 2:
+        return frozenset(("weights_5", "weights_6"))
+    return frozenset(("weights_4", "weights_5", "weights_6"))
+
+
+def _fp32_enc_tail_names(fp32_enc_tail):
+    """Encoder kernels kept fp32 for a given encoder tail level.
+
+    The on-chip gate measurements (round 5) showed the worst-case
+    PSNR delta vs the fp32 path is dominated by ENCODER-side bf16
+    symbol flips (a full-fp32 decode alone still breached the 0.05 dB
+    gate by a hair), so the analysis transform gets the same surgical
+    knob: level 1 = the latent-producing conv_3, level 2 = + conv_2,
+    level 3 = the whole encoder.
+    """
+    if fp32_enc_tail <= 0:
+        return frozenset()
+    if fp32_enc_tail == 1:
+        return frozenset(("weights_3",))
+    if fp32_enc_tail == 2:
+        return frozenset(("weights_2", "weights_3"))
+    return frozenset(("weights_1", "weights_2", "weights_3"))
+
+
+def bf16_weight_params(params, fp32_tail=0, fp32_enc_tail=0):
     """The bf16-weight fast-path variant: conv kernels rounded to bf16
     once, ahead of time (GDN/bias stay fp32).
 
@@ -47,8 +88,16 @@ def bf16_weight_params(params):
     magnitude inside the parity gates. The fast transforms accept the
     result anywhere ``qparams`` is expected (plain arrays pass through
     :func:`dequantize_int8_params` unchanged).
+
+    ``fp32_tail`` / ``fp32_enc_tail`` keep the tail decoder / encoder
+    kernels unrounded (fp32) for the precision-surgical "bf16w+"
+    serving path - pair them with the same levels passed to
+    :func:`fast_decode` / :func:`fast_encode` so those convs actually
+    run fp32.
     """
-    return {name: (value.astype(jnp.bfloat16) if name in _CONV_NAMES else value)
+    keep = _fp32_tail_names(fp32_tail) | _fp32_enc_tail_names(fp32_enc_tail)
+    return {name: (value.astype(jnp.bfloat16)
+                   if name in _CONV_NAMES and name not in keep else value)
             for (name, value) in params.items()}
 
 
@@ -107,33 +156,39 @@ def fold_bin_widths_into_decoder(params, bin_widths):
     return folded
 
 
-def _conv_bf16(x, w, stride, out_dtype=jnp.float32):
+def _conv_bf16(x, w, stride, out_dtype=jnp.float32, dtype=jnp.bfloat16):
     return jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_dtype)
 
 
-def _tconv_bf16(y, w, stride, out_dtype=jnp.float32):
+def _tconv_bf16(y, w, stride, out_dtype=jnp.float32, dtype=jnp.bfloat16):
     """Transpose of the TF-SAME strided conv, written explicitly.
 
     The gradient conv of a SAME conv with kernel k, stride s and pads
     (lo, hi) = (floor((k-s)/2), ceil((k-s)/2)) is an lhs-dilated conv
     with the spatially-flipped IO-swapped kernel and pads
     (k-1-lo, k-1-hi). Written out (instead of jax.linear_transpose)
-    so the bf16 kernel/activation dtypes can be chosen freely.
+    so the bf16 kernel/activation dtypes can be chosen freely. A
+    float32 ``dtype`` pins HIGHEST precision so XLA cannot re-round the
+    operands to bf16 passes (same rule as the parity path's convs).
     """
     k = w.shape[0]
     pad_total = k - stride
     (lo, hi) = (pad_total // 2, pad_total - pad_total // 2)
     w_t = jnp.transpose(w[::-1, ::-1, :, :], (0, 1, 3, 2))
     return jax.lax.conv_general_dilated(
-        y.astype(jnp.bfloat16), w_t.astype(jnp.bfloat16),
+        y.astype(dtype), w_t.astype(dtype),
         window_strides=(1, 1),
         padding=((k - 1 - lo, k - 1 - hi), (k - 1 - lo, k - 1 - hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_dtype)
 
 
@@ -182,6 +237,8 @@ def _conv1_s2d(x, w9, dtype=jnp.bfloat16, out_dtype=jnp.float32):
         _space_to_depth(x).astype(dtype), wk.astype(dtype),
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_dtype)
 
 
@@ -198,6 +255,8 @@ def _tconv6_s2d(y, w9, dtype=jnp.bfloat16):
         y.astype(dtype), wk_t.astype(dtype),
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=jnp.float32)
     return _depth_to_space(out16)
 
@@ -225,67 +284,118 @@ def _gdn_fast(x, gamma, beta, inverse, use_pallas):
     return fn(x.astype(jnp.float32), gamma, beta)
 
 
+def _encode_tail_dtypes(fp32_enc_tail):
+    """Per-stage dtypes of the analysis transform for an encoder tail
+    level: ``(c1_dtype, c1_out, c2_dtype, c2_out, c3_dtype)``. From the
+    chosen level on, every conv runs HIGHEST-precision fp32 and the GDN
+    between fp32 stages pools/scales in fp32."""
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+    return (f32 if fp32_enc_tail >= 3 else bf16,  # conv_1 operand dtype
+            f32 if fp32_enc_tail >= 2 else bf16,  # conv_1 output -> GDN_1
+            f32 if fp32_enc_tail >= 2 else bf16,  # conv_2 operand dtype
+            f32 if fp32_enc_tail >= 1 else bf16,  # conv_2 output -> GDN_2
+            f32 if fp32_enc_tail >= 1 else bf16)  # conv_3 operand dtype
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("learn_bin_widths", "use_pallas", "use_s2d"))
+                   static_argnames=("learn_bin_widths", "use_pallas", "use_s2d",
+                                    "fp32_enc_tail"))
 def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False,
-                use_s2d=True):
+                use_s2d=True, fp32_enc_tail=0):
     """bf16 analysis transform over int8-stored weights.
 
     ``use_s2d`` runs the first conv in its space-to-depth formulation
     (16 input channels instead of 1 - see :func:`_s2d_kernel_from_conv1`).
+    ``fp32_enc_tail`` runs the last encoder stages in HIGHEST-precision
+    fp32 (level 1 = the latent-producing conv_3, level 2 = + conv_2,
+    level 3 = whole encoder): the worst-case parity gate is dominated by
+    symbol flips from bf16 latent error, and the error is cheapest to
+    remove at the latent end where the spatial resolution is lowest.
+    Pass ``qparams`` built with the same level so the tail kernels are
+    unrounded.
     """
     p = dequantize_int8_params(qparams)
-    bf16 = jnp.bfloat16
-    # Intermediate activations stream bf16 end-to-end (convs accumulate
-    # fp32 on the MXU, GDN pools accumulate fp32); only the latent y is
-    # emitted fp32 so the quantizer's rounding keeps full resolution.
+    (c1_dtype, c1_out, c2_dtype, c2_out, c3_dtype) = _encode_tail_dtypes(
+        fp32_enc_tail)
+    # Intermediate activations stream bf16 (convs accumulate fp32 on
+    # the MXU, GDN pools accumulate fp32) except from the chosen fp32
+    # tail stage on; the latent y is always emitted fp32 so the
+    # quantizer's rounding keeps full resolution.
     if use_s2d:
-        x = _conv1_s2d(visible_units, p["weights_1"], out_dtype=bf16)
+        x = _conv1_s2d(visible_units, p["weights_1"], dtype=c1_dtype,
+                       out_dtype=c1_out)
     else:
         x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1,
-                       out_dtype=bf16)
-    x = x + p["biases_1"].astype(bf16)
+                       out_dtype=c1_out, dtype=c1_dtype)
+    x = x + p["biases_1"].astype(c1_out)
     x = _gdn_fast(x, p["gamma_1"], p["beta_1"], False, use_pallas)
-    x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2, out_dtype=bf16)
-    x = x + p["biases_2"].astype(bf16)
+    x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2, out_dtype=c2_out,
+                   dtype=c2_dtype)
+    x = x + p["biases_2"].astype(c2_out)
     x = _gdn_fast(x, p["gamma_2"], p["beta_2"], False, use_pallas)
-    x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3) + p["biases_3"]
+    x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3, dtype=c3_dtype) + p["biases_3"]
     if not learn_bin_widths:
         x = _gdn_fast(x.astype(jnp.float32), p["gamma_3"], p["beta_3"], False,
                       use_pallas)
     return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
+def _decode_tail_dtypes(fp32_tail):
+    """Per-stage dtypes of the synthesis transform for a tail level.
+
+    Returns ``(t4_dtype, t4_out, t5_dtype, t5_out, t6_dtype)``: from the
+    chosen level on, every conv runs HIGHEST-precision fp32 and the
+    preceding IGDN pools/scales in fp32 (its input arrives in the
+    upstream stage's output dtype). Level 1 = IGDN_6 + final 9x9 tconv;
+    level 2 = + tconv_5; level 3 = whole decode.
+    """
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+    return (f32 if fp32_tail >= 3 else bf16,   # tconv_4 operand dtype
+            f32 if fp32_tail >= 3 else bf16,   # tconv_4 output -> IGDN_5
+            f32 if fp32_tail >= 2 else bf16,   # tconv_5 operand dtype
+            f32 if fp32_tail >= 1 else bf16,   # tconv_5 output -> IGDN_6
+            f32 if fp32_tail >= 1 else bf16)   # final tconv operand dtype
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d",
+                                             "fp32_tail"))
 def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False,
-                         use_s2d=True):
+                         use_s2d=True, fp32_tail=0):
     """bf16 synthesis transform for the fixed-bin-width architecture.
 
     IGDN_4 sits between the symbols and the first transposed conv
     (``components.py:53-58``), so the dequantizer cannot fold into the
     kernel; it runs inline instead (XLA fuses the elementwise scale
-    into the IGDN pool computation).
+    into the IGDN pool computation). ``fp32_tail`` is the
+    precision-surgical serving knob (see :func:`fast_decode`).
     """
     p = dequantize_int8_params(qparams)
-    bf16 = jnp.bfloat16
+    (t4_dtype, t4_out, t5_dtype, t5_out, t6_dtype) = _decode_tail_dtypes(
+        fp32_tail)
     x = symbols.astype(jnp.float32) * jnp.asarray(bin_widths)
     x = _gdn_fast(x, p["gamma_4"], p["beta_4"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_4"], csts.STRIDE_3, out_dtype=bf16)
-    x = x + p["biases_4"].astype(bf16)
+    x = _tconv_bf16(x, p["weights_4"], csts.STRIDE_3, out_dtype=t4_out,
+                    dtype=t4_dtype)
+    x = x + p["biases_4"].astype(t4_out)
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=bf16)
-    x = x + p["biases_5"].astype(bf16)
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=t5_out,
+                    dtype=t5_dtype)
+    x = x + p["biases_5"].astype(t5_out)
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
     if use_s2d:
-        x = _tconv6_s2d(x, p["weights_6"])
+        x = _tconv6_s2d(x, p["weights_6"], dtype=t6_dtype)
     else:
-        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1, dtype=t6_dtype)
     return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d",
+                                             "fp32_tail", "fp32_enc_tail"))
 def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
-                        use_pallas=False, use_s2d=True):
+                        use_pallas=False, use_s2d=True, fp32_tail=0,
+                        fp32_enc_tail=0):
     """Encode+quantize+decode K batches in ONE device program.
 
     ``stacked_batches`` is (K, B, H, W, 1); a ``lax.scan`` runs the full
@@ -299,36 +409,52 @@ def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
     """
     def body(carry, batch):
         y = fast_encode(qparams, batch, learn_bin_widths=True,
-                        use_pallas=use_pallas, use_s2d=use_s2d)
+                        use_pallas=use_pallas, use_s2d=use_s2d,
+                        fp32_enc_tail=fp32_enc_tail)
         symbols = jnp.round(y / bin_widths)
         return (carry, (fast_decode(qparams_folded, symbols,
-                                    use_pallas=use_pallas, use_s2d=use_s2d),
+                                    use_pallas=use_pallas, use_s2d=use_s2d,
+                                    fp32_tail=fp32_tail),
                         symbols))
 
     (_, (reconstructions, symbols)) = jax.lax.scan(body, 0, stacked_batches)
     return (reconstructions, symbols)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d"))
-def fast_decode(qparams_folded, symbols, use_pallas=False, use_s2d=True):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d",
+                                             "fp32_tail"))
+def fast_decode(qparams_folded, symbols, use_pallas=False, use_s2d=True,
+                fp32_tail=0):
     """bf16 synthesis transform consuming raw integer symbols.
 
     ``qparams_folded`` must come from :func:`fold_bin_widths_into_decoder`
     (dequant already inside ``weights_4``). Learned-bin-width
     architecture only. ``use_s2d`` runs the last transposed conv in its
     depth-to-space formulation (16 output channels instead of 1).
+
+    ``fp32_tail`` is the precision-surgical "bf16w+" knob: from the
+    given stage on, the synthesis transform runs HIGHEST-precision fp32
+    (level 1 = IGDN_6 + final tconv, level 2 = + tconv_5, level 3 =
+    whole decode). The last stages dominate the output error but are a
+    small fraction of the FLOPs (the final tconv is ~2% of tconv_5 in
+    the depth-to-space formulation), which is what lets the worst-case
+    0.05 dB parity gate hold without giving up the bf16 throughput.
+    Pass ``qparams_folded`` built with the same level
+    (:func:`bf16_weight_params`) so the tail kernels are unrounded.
     """
     p = dequantize_int8_params(qparams_folded)
-    bf16 = jnp.bfloat16
+    (t4_dtype, t4_out, t5_dtype, t5_out, t6_dtype) = _decode_tail_dtypes(
+        fp32_tail)
     x = _tconv_bf16(symbols.astype(jnp.float32), p["weights_4"], csts.STRIDE_3,
-                    out_dtype=bf16)
-    x = x + p["biases_4"].astype(bf16)
+                    out_dtype=t4_out, dtype=t4_dtype)
+    x = x + p["biases_4"].astype(t4_out)
     x = _gdn_fast(x, p["gamma_5"], p["beta_5"], True, use_pallas)
-    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=bf16)
-    x = x + p["biases_5"].astype(bf16)
+    x = _tconv_bf16(x, p["weights_5"], csts.STRIDE_2, out_dtype=t5_out,
+                    dtype=t5_dtype)
+    x = x + p["biases_5"].astype(t5_out)
     x = _gdn_fast(x, p["gamma_6"], p["beta_6"], True, use_pallas)
     if use_s2d:
-        x = _tconv6_s2d(x, p["weights_6"])
+        x = _tconv6_s2d(x, p["weights_6"], dtype=t6_dtype)
     else:
-        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1)
+        x = _tconv_bf16(x, p["weights_6"], csts.STRIDE_1, dtype=t6_dtype)
     return x.astype(jnp.float32)

@@ -154,12 +154,16 @@ def bjontegaard_summary(rates_eae, psnrs_eae, rates_anchor, psnrs_anchor, path=N
     Averages per-image curves first like the reference's dictionary
     construction (``:837-856``); optionally pickles the result.
     """
-    delta = compute_bjontegaard(
-        numpy.mean(rates_anchor, axis=0), numpy.mean(psnrs_anchor, axis=0),
-        numpy.mean(rates_eae, axis=1), numpy.mean(psnrs_eae, axis=1))
+    from autoencoder_based_image_compression_tpu.ops.metrics import (
+        bjontegaard_fit_quality)
+
+    args = (numpy.mean(rates_anchor, axis=0), numpy.mean(psnrs_anchor, axis=0),
+            numpy.mean(rates_eae, axis=1), numpy.mean(psnrs_eae, axis=1))
+    delta = compute_bjontegaard(*args)
     if path is not None:
         with open(path, "wb") as file:
-            pickle.dump({"bjontegaard_percent_saving": delta}, file)
+            pickle.dump({"bjontegaard_percent_saving": delta,
+                         "fit_quality": bjontegaard_fit_quality(*args)}, file)
     return delta
 
 

@@ -108,11 +108,54 @@ def psnr_2d(reference_uint8, reconstruction_uint8):
     return 10.0 * numpy.log10((255.0 ** 2) / mse)
 
 
-def compute_bjontegaard(rates_0, psnrs_0, rates_1, psnrs_1):
+def bjontegaard_fit_quality(rates_0, psnrs_0, rates_1, psnrs_1,
+                            min_overlap_db=1.5):
+    """Diagnostics of the cubic Bjontegaard fit's trustworthiness.
+
+    The cubic polyfit in (PSNR, ln rate) amplifies checkpoint noise
+    when the curves barely overlap or a fitted cubic is non-monotone on
+    the overlap (a rate-distortion curve's ln-rate must increase with
+    PSNR) - exactly the short-budget instability BASELINE.md documents.
+    Returns a dict: ``overlap_db`` (PSNR overlap of the two curves),
+    ``narrow_overlap`` (overlap < ``min_overlap_db``), ``monotone_0`` /
+    ``monotone_1`` (each cubic's slope positive across the overlap) and
+    ``reliable`` (all good). Reference fit: ``tools/tools.py:157-263``.
+    """
+    rates_0 = numpy.asarray(rates_0, dtype=numpy.float64)
+    rates_1 = numpy.asarray(rates_1, dtype=numpy.float64)
+    psnrs_0 = numpy.asarray(psnrs_0, dtype=numpy.float64)
+    psnrs_1 = numpy.asarray(psnrs_1, dtype=numpy.float64)
+    minimum = max(numpy.amin(psnrs_0).item(), numpy.amin(psnrs_1).item())
+    maximum = min(numpy.amax(psnrs_0).item(), numpy.amax(psnrs_1).item())
+    overlap_db = maximum - minimum
+    quality = {
+        "overlap_db": overlap_db,
+        "narrow_overlap": bool(overlap_db < min_overlap_db),
+        "monotone_0": True,
+        "monotone_1": True,
+    }
+    if overlap_db > 0.0:
+        grid = numpy.linspace(minimum, maximum, 64)
+        for (idx, (psnrs, rates)) in enumerate(
+                ((psnrs_0, rates_0), (psnrs_1, rates_1))):
+            coeffs = numpy.polyfit(psnrs, numpy.log(rates), 3)
+            slope = numpy.polyval(numpy.polyder(coeffs), grid)
+            quality[f"monotone_{idx}"] = bool(numpy.all(slope > 0.0))
+    quality["reliable"] = bool(not quality["narrow_overlap"]
+                               and quality["monotone_0"]
+                               and quality["monotone_1"])
+    return quality
+
+
+def compute_bjontegaard(rates_0, psnrs_0, rates_1, psnrs_1, warn=True):
     """Bjontegaard average %-bitrate saving of curve 1 over curve 0.
 
     Cubic polynomial fit in (PSNR, ln rate), integrated over the
     overlapping PSNR range (reference ``tools/tools.py:157-263``).
+    With ``warn=True`` a RuntimeWarning is emitted when
+    :func:`bjontegaard_fit_quality` finds the fit untrustworthy (sliver
+    overlap or a non-monotone cubic) so the number cannot circulate
+    without its caveat.
     """
     rates_0 = numpy.asarray(rates_0, dtype=numpy.float64)
     rates_1 = numpy.asarray(rates_1, dtype=numpy.float64)
@@ -126,6 +169,18 @@ def compute_bjontegaard(rates_0, psnrs_0, rates_1, psnrs_1):
                       ("psnrs_0", psnrs_0), ("psnrs_1", psnrs_1)):
         numpy.testing.assert_array_less(
             0.0, arr, err_msg=f"An element of `{name}` is not strictly positive.")
+    if warn:
+        import warnings
+
+        quality = bjontegaard_fit_quality(rates_0, psnrs_0, rates_1, psnrs_1)
+        if not quality["reliable"]:
+            warnings.warn(
+                "The Bjontegaard cubic fit looks untrustworthy: "
+                f"overlap {quality['overlap_db']:.2f} dB"
+                f"{' (narrow)' if quality['narrow_overlap'] else ''}, "
+                f"monotone curves ({quality['monotone_0']}, "
+                f"{quality['monotone_1']}). Treat the returned saving as "
+                "indicative only.", RuntimeWarning, stacklevel=2)
     coeffs_0 = numpy.polyfit(psnrs_0, numpy.log(rates_0), 3)
     coeffs_1 = numpy.polyfit(psnrs_1, numpy.log(rates_1), 3)
     minimum = max(numpy.amin(psnrs_0).item(), numpy.amin(psnrs_1).item())

@@ -61,7 +61,18 @@ def load_checkpoint(path, template):
     :func:`init_train_state` with the same experiment configuration);
     its tree paths select the stored arrays, so a renamed, missing or
     reshaped leaf raises instead of silently mapping to another tensor.
+
+    A ``<path>.npz`` without its ``<path>.json`` sidecar is refused:
+    :func:`save_checkpoint` writes the npz first and the meta last, so
+    a missing sidecar means the writer died mid-save and the npz may be
+    truncated (the reference's refuse-don't-guess discipline,
+    ``training_eae_imagenet.py:89-96``).
     """
+    if not os.path.isfile(path + ".json"):
+        raise FileNotFoundError(
+            f"{path}.json is missing: {path}.npz is a half-written "
+            "checkpoint (the meta sidecar is written last). Delete the "
+            "leftover npz and resume from the previous part.")
     data = numpy.load(path + ".npz")
     stored = set(data.files)
     (flat, treedef) = jax.tree_util.tree_flatten_with_path(template)
@@ -106,12 +117,13 @@ def mark_checkpoint_complete(path):
 def checkpoint_part_complete(path):
     """True when the part that produced ``<path>`` ran to completion.
 
-    Checkpoints from before the completion stamp existed carry no key
-    and are treated as complete (they predate per-epoch saving drivers
-    relying on this)."""
+    A missing ``<path>.json`` sidecar means the save was interrupted
+    between the npz and the meta write (the meta is written last) - the
+    part is NOT complete, and resumable drivers clean such leftovers
+    instead of picking up a possibly-truncated npz."""
     meta_path = path + ".json"
     if not os.path.isfile(meta_path):
-        return True
+        return False
     with open(meta_path) as file:
         return bool(json.load(file).get("part_complete", True))
 

@@ -115,10 +115,22 @@ def _project_gdn(params, learn_bin_widths):
 
 
 def _eae_bw_phase(state, visible_units, key, adam, gamma_scaling,
-                  learn_bin_widths, ppi, max_itvs):
+                  learn_bin_widths, ppi, max_itvs,
+                  bw_warmup_steps=0, bw_warmup_max=1.0):
     """Joint Adam + bin-width SGD update, then projections.
 
     Reference ``EntropyAutoencoder.py:508-540`` (``training_eae_bw``).
+
+    ``bw_warmup_steps``: cold-start mitigation for joint bin-width
+    learning. Early in training the latent std is small (~0.3) while
+    the clip floor is 0.8, so the entropy term inflates the bin widths
+    (observed mean 1.37 by step 28k) instead of the transform scaling
+    its latents up - the family then spends ~10k steps recovering
+    (BASELINE.md, round 4). While ``step < bw_warmup_steps`` the upper
+    clip is tightened from ``MAX_BW`` (4.0) to ``bw_warmup_max`` so the
+    rate gradient has to act on the transform, not the quantizer. 0
+    disables it (the reference's exact [0.8, 4.0] clip at every step,
+    ``EntropyAutoencoder.py:386-387``).
     """
     grad_fn = jax.grad(_rd_loss, argnums=(0, 1), has_aux=True)
     ((grads_params, grads_bw), _) = grad_fn(
@@ -128,7 +140,12 @@ def _eae_bw_phase(state, visible_units, key, adam, gamma_scaling,
     params = optax.apply_updates(state.params, updates)
     if learn_bin_widths:
         bin_widths = state.bin_widths - csts.LR_BW * grads_bw
-        bin_widths = jnp.clip(bin_widths, csts.MIN_BW, csts.MAX_BW)
+        max_bw = csts.MAX_BW
+        if bw_warmup_steps > 0:
+            max_bw = jnp.where(state.step < bw_warmup_steps,
+                               jnp.float32(bw_warmup_max),
+                               jnp.float32(csts.MAX_BW))
+        bin_widths = jnp.clip(bin_widths, csts.MIN_BW, max_bw)
     else:
         bin_widths = state.bin_widths
     params = _project_gdn(params, learn_bin_widths)
@@ -138,7 +155,7 @@ def _eae_bw_phase(state, visible_units, key, adam, gamma_scaling,
 
 def make_step_fns(gamma_scaling, learn_bin_widths,
                   ppi=csts.NB_POINTS_PER_INTERVAL, max_itvs=csts.MAX_ITVS_PER_SIDE,
-                  donate=False):
+                  donate=False, bw_warmup_steps=0, bw_warmup_max=1.0):
     """Builds the jitted training/eval functions for one experiment.
 
     Returns a dict with:
@@ -172,13 +189,17 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
 
     @functools.partial(jax.jit, donate_argnums=donate_args)
     def training_eae_bw(state, batch, key):
-        return _eae_bw_phase(state, batch, key, adam, gamma_scaling, **static)
+        return _eae_bw_phase(state, batch, key, adam, gamma_scaling,
+                             bw_warmup_steps=bw_warmup_steps,
+                             bw_warmup_max=bw_warmup_max, **static)
 
     @functools.partial(jax.jit, donate_argnums=donate_args)
     def train_step(state, batch, key):
         (key_fct, key_eae) = jax.random.split(key)
         state = _density_phase(state, batch, key_fct, **static)
-        state = _eae_bw_phase(state, batch, key_eae, adam, gamma_scaling, **static)
+        state = _eae_bw_phase(state, batch, key_eae, adam, gamma_scaling,
+                              bw_warmup_steps=bw_warmup_steps,
+                              bw_warmup_max=bw_warmup_max, **static)
         return state
 
     @jax.jit
@@ -203,7 +224,8 @@ def make_step_fns(gamma_scaling, learn_bin_widths,
             (key_fct, key_eae) = jax.random.split(subkey)
             carry = _density_phase(carry, batch, key_fct, **static)
             carry = _eae_bw_phase(carry, batch, key_eae, adam, gamma_scaling,
-                                  **static)
+                                  bw_warmup_steps=bw_warmup_steps,
+                                  bw_warmup_max=bw_warmup_max, **static)
             return (carry, None)
 
         (state, _) = jax.lax.scan(body, state, (rows, keys))

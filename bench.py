@@ -22,11 +22,13 @@ pattern, ``eae/batching.py:48-53``) at its batch size of 4
 (``reconstructing_eae_kodak.py:624``), versus our scan-megabatched
 async-dispatch pipeline (``engine.fast_roundtrip_scan``).
 
-Two fast-path variants run (int8 weight-only store and bf16-rounded
-weights - same MXU kernels; the bf16w variant is the parity-headroom
-one); the headline value is the faster, and per-variant fidelity vs
-the fp32 parity path is reported both as recon-vs-recon PSNR and as
-the end-to-end PSNR-vs-original delta the 0.05 dB gate is about.
+Three fast-path variants run (int8 weight-only store, bf16-rounded
+weights, and bf16w+ = bf16 with a precision-surgical fp32 decode
+tail); the headline is bf16w+, the variant that meets the WORST-CASE
+per-image 0.05 dB parity gate at every probed bin-width multiplier
+(its tail level auto-escalates until the gate holds). Per-variant
+fidelity vs the fp32 parity path is reported both as recon-vs-recon
+PSNR and as the end-to-end PSNR-vs-original delta the gate is about.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
 "headline_path", "int8_mpix_per_s", "bf16w_mpix_per_s",
@@ -34,6 +36,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
 "weights"}.
 """
 
+import functools
 import json
 import os
 import time
@@ -103,6 +106,25 @@ def _timeit(fn, repeats=5):
     return min(times)
 
 
+def _timeit_median(fn, repeats=7):
+    """Median + observed range over ``repeats`` runs (after warmup).
+
+    The serving rows go through the host link (dev tunnels vary by
+    ~1.5x run to run), so a min- or single-shot number is not
+    reproducible across drivers; the committed row is the median and
+    the spread is reported alongside (VERDICT r4 item 3).
+    """
+    import statistics
+
+    fn()  # warmup / compile
+    times = []
+    for _ in range(1 if SMOKE else repeats):
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+    return (statistics.median(times), max(times), min(times))
+
+
 def main():
     from autoencoder_based_image_compression_tpu.models import conv_eae
     from autoencoder_based_image_compression_tpu.ops.metrics import psnr_2d
@@ -134,18 +156,30 @@ def main():
 
     roundtrip = jax.jit(_roundtrip_fp32)
 
-    # --- ours: two fast-path variants, both bf16 activations with the
+    # --- ours: three fast-path variants, all bf16 activations with the
     # dequantizer folded into the first transposed conv (fp32 fold,
     # then weight rounding):
-    #   int8  - int8 weight-only store + per-channel fp32 scales
-    #   bf16w - kernels rounded to bf16 (same MXU kernels/speed, no
-    #           int8 rounding; the parity-headroom variant)
+    #   int8   - int8 weight-only store + per-channel fp32 scales
+    #   bf16w  - kernels rounded to bf16 (same MXU kernels/speed, no
+    #            int8 rounding)
+    #   bf16w+ - bf16w with the precision-surgical fp32 decode tail
+    #            (engine.fast_decode fp32_tail; starts at level 1 =
+    #            IGDN_6 + final tconv and escalates below until the
+    #            worst-case gate holds; the serving default)
     folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    bf16wplus_enc = engine.BF16WPLUS_ENC_TAIL
+    bf16wplus_dec = engine.BF16WPLUS_DEC_TAIL
+
+    def bf16wplus_params(enc, dec):
+        return (engine.bf16_weight_params(params, fp32_enc_tail=enc),
+                engine.bf16_weight_params(folded, fp32_tail=dec), enc, dec)
+
     variants = {
         "int8": (engine.quantize_params_int8(params),
-                 engine.quantize_params_int8(folded)),
+                 engine.quantize_params_int8(folded), 0, 0),
         "bf16w": (engine.bf16_weight_params(params),
-                  engine.bf16_weight_params(folded)),
+                  engine.bf16_weight_params(folded), 0, 0),
+        "bf16w+": bf16wplus_params(bf16wplus_enc, bf16wplus_dec),
     }
 
     # A 4-byte checksum fetch is the completion barrier. Rationale:
@@ -167,29 +201,23 @@ def main():
     stack_all = jax.device_put(jnp.asarray(_distinct_stack(images_f32, NB_SCAN)))
     batch_all = jax.device_put(jnp.asarray(images_f32))
 
-    @jax.jit
-    def scan_checksum(qparams, qfolded, stack, bin_widths):
-        (recs, symbols) = engine.fast_roundtrip_scan(qparams, qfolded, stack,
-                                                     bin_widths)
+    @functools.partial(jax.jit, static_argnames=("fp32_tail", "fp32_enc_tail"))
+    def scan_checksum(qparams, qfolded, stack, bin_widths, fp32_tail=0,
+                      fp32_enc_tail=0):
+        (recs, symbols) = engine.fast_roundtrip_scan(
+            qparams, qfolded, stack, bin_widths, fp32_tail=fp32_tail,
+            fp32_enc_tail=fp32_enc_tail)
         return jnp.sum(recs) + jnp.sum(symbols)
 
-    def make_run(qparams, qfolded):
+    def make_run(qparams, qfolded, enc_tail, dec_tail):
         def run():
-            checksums = [scan_checksum(qparams, qfolded, stack_all, bin_widths)
+            checksums = [scan_checksum(qparams, qfolded, stack_all, bin_widths,
+                                       fp32_tail=dec_tail,
+                                       fp32_enc_tail=enc_tail)
                          for _ in range(NB_IN_FLIGHT)]
             for checksum in checksums:
                 numpy.asarray(checksum)
         return run
-
-    mpix = {}
-    for (tag, (qp, qf)) in variants.items():
-        seconds = _timeit(make_run(qp, qf))
-        mpix[tag] = NB_SCAN * NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
-    # The headline is the bf16w path: measured equal-speed to int8
-    # (same bf16 MXU kernels; <1% apart run to run) and the only
-    # variant inside the 0.05 dB parity gate with real margin.
-    headline_tag = "bf16w"
-    mpix_per_s = mpix[headline_tag]
 
     # --- fp32 parity path on the same distinct stack, same dispatch
     # discipline (the no-quantization-tricks number).
@@ -233,15 +261,21 @@ def main():
     fidelity = {}
     psnr_delta = {}
     psnr_delta_worst = {}
-    fast_scan = jax.jit(engine.fast_roundtrip_scan)
-    for (tag, (qp, _)) in variants.items():
+    GATE_DB = 0.05
+
+    def gate_rows(tag, qp, enc_tail, dec_tail):
+        """Worst-case per-image PSNR delta vs the fp32 path per
+        multiplier, plus the x1 mean fidelity numbers."""
         per_mult_worst = {}
         for mult in GATE_MULTIPLIERS:
             bw_m = bin_widths * mult
             folded_m = engine.fold_bin_widths_into_decoder(params, bw_m)
             qf_m = (engine.quantize_params_int8(folded_m) if tag == "int8"
-                    else engine.bf16_weight_params(folded_m))
-            (recs_fast, _) = fast_scan(qp, qf_m, batch_all[None], bw_m)
+                    else engine.bf16_weight_params(folded_m,
+                                                   fp32_tail=dec_tail))
+            (recs_fast, _) = engine.fast_roundtrip_scan(
+                qp, qf_m, batch_all[None], bw_m, fp32_tail=dec_tail,
+                fp32_enc_tail=enc_tail)
             rec_fast = cast_bt601(numpy.asarray(recs_fast[0])[..., 0])
             deltas = numpy.array(
                 [psnr_2d(orig[i], rec_fast[i])
@@ -253,7 +287,34 @@ def main():
                         rec_fp32[i], rec_fast[i]) else 99.0
                     for i in range(rec_fp32.shape[0])])
                 psnr_delta[tag] = float(deltas.mean())
-        psnr_delta_worst[tag] = per_mult_worst
+        return per_mult_worst
+
+    for (tag, (qp, _, enc_tail, dec_tail)) in variants.items():
+        psnr_delta_worst[tag] = gate_rows(tag, qp, enc_tail, dec_tail)
+    # Escalate the bf16w+ precision mix until the worst-case gate holds
+    # at every multiplier ((3, 3) == both transforms entirely in
+    # HIGHEST-precision fp32 between the same quantizer points).
+    ESCALATION = [(2, 1), (2, 2), (3, 3)]
+    while (not SMOKE and ESCALATION
+           and min(psnr_delta_worst["bf16w+"].values()) < -GATE_DB):
+        (bf16wplus_enc, bf16wplus_dec) = ESCALATION.pop(0)
+        variants["bf16w+"] = bf16wplus_params(bf16wplus_enc, bf16wplus_dec)
+        psnr_delta_worst["bf16w+"] = gate_rows(
+            "bf16w+", variants["bf16w+"][0], bf16wplus_enc, bf16wplus_dec)
+    gate_pass = {tag: bool(min(worst.values()) >= -GATE_DB)
+                 for (tag, worst) in psnr_delta_worst.items()}
+
+    mpix = {}
+    for (tag, (qp, qf, enc_tail, dec_tail)) in variants.items():
+        seconds = _timeit(make_run(qp, qf, enc_tail, dec_tail))
+        mpix[tag] = NB_SCAN * NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
+    # The headline is the bf16w+ path (bf16 transforms + fp32 decode
+    # tail): the fast variant that meets the worst-case-per-image
+    # 0.05 dB gate at every probed multiplier. Falls back to bf16w only
+    # if even the full-fp32-decode escalation failed the gate (then the
+    # gate_pass flags record the failure explicitly).
+    headline_tag = "bf16w+" if (SMOKE or gate_pass["bf16w+"]) else "bf16w"
+    mpix_per_s = mpix[headline_tag]
 
     # --- reference-style: batch-of-4 feed_dict round trips -------------
     def run_reference_style():
@@ -277,6 +338,7 @@ def main():
     coded_fast_mpix = None
     coded_compress_only_mpix = None
     coded_noverify_mpix = None
+    coded_spread = {}
     coder_msym = None
     stats_dir = os.path.join(os.path.dirname(TRAINED_ARTIFACT), "statistics")
 
@@ -319,33 +381,44 @@ def main():
         probabilities = numpy.load(
             os.path.join(stats_dir, "binary_probabilities_1.npy"))
         map_mean = numpy.load(os.path.join(stats_dir, "map_mean.npy"))
+        # Every serving row is a MEDIAN over >=5 repetitions with the
+        # observed range alongside: these rows ride the host link, whose
+        # run-to-run variance through a dev tunnel is the reason the
+        # r4 driver and builder numbers disagreed by ~45%.
+        def serve_row(name, compressor_obj, repeats=5):
+            (med, worst, best) = _timeit_median(
+                lambda: compressor_obj(images), repeats=repeats)
+            coded_spread[name] = {
+                "median": round(nb_pixels / med / 1.0e6, 3),
+                "min": round(nb_pixels / worst / 1.0e6, 3),
+                "max": round(nb_pixels / best / 1.0e6, 3)}
+            return nb_pixels / med / 1.0e6
+
         compressor = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
             idx_exc, batch_size=8)
-        coded_seconds = _timeit(lambda: compressor(images), repeats=3)
-        coded_mpix = nb_pixels / coded_seconds / 1.0e6
-        # Same pipeline on the bf16w serving transforms (the headline
+        coded_mpix = serve_row("roundtrip", compressor)
+        # Same pipeline on the bf16w+ serving transforms (the headline
         # fast path feeding real bitstreams).
         compressor_fast = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
-            idx_exc, batch_size=8, fast_path="bf16w")
-        coded_fast_seconds = _timeit(lambda: compressor_fast(images), repeats=3)
-        coded_fast_mpix = nb_pixels / coded_fast_seconds / 1.0e6
+            idx_exc, batch_size=8, fast_path="bf16w+")
+        coded_fast_mpix = serve_row("roundtrip_fast", compressor_fast)
         # Compress-only serving (no decode dispatch / reconstruction
         # fetch - the production "archive this stream" workload).
         compressor_co = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
             idx_exc, batch_size=8, reconstruct=False)
-        coded_co_seconds = _timeit(lambda: compressor_co(images), repeats=3)
-        coded_compress_only_mpix = nb_pixels / coded_co_seconds / 1.0e6
+        coded_compress_only_mpix = serve_row("compress_only", compressor_co,
+                                             repeats=7)
         # Same workload with the verify-decode skipped (encode-only
         # coder entry; identical bitstreams - see the differential and
         # self tests).
         compressor_nv = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
             idx_exc, batch_size=8, reconstruct=False, verify=False)
-        coded_nv_seconds = _timeit(lambda: compressor_nv(images), repeats=3)
-        coded_noverify_mpix = nb_pixels / coded_nv_seconds / 1.0e6
+        coded_noverify_mpix = serve_row("compress_only_noverify",
+                                        compressor_nv, repeats=7)
 
         # Coder in isolation (no device, no link): Msym/s of the C++
         # pool on this host over the actual trained-model symbols of
@@ -381,6 +454,9 @@ def main():
         "headline_path": headline_tag,
         "int8_mpix_per_s": round(mpix["int8"], 3),
         "bf16w_mpix_per_s": round(mpix["bf16w"], 3),
+        "bf16wplus_mpix_per_s": round(mpix["bf16w+"], 3),
+        "bf16wplus_fp32_tail": {"enc": bf16wplus_enc, "dec": bf16wplus_dec},
+        "gate_pass_worst_0p05db": gate_pass,
         "fp32_mpix_per_s": round(fp32_mpix, 3),
         "fast_vs_fp32_psnr_db": {tag: round(float(v), 2)
                                  for (tag, v) in fidelity.items()},
@@ -400,6 +476,7 @@ def main():
         "true_bitstream_compress_only_noverify_mpix_per_s": (
             round(coded_noverify_mpix, 3)
             if coded_noverify_mpix is not None else None),
+        "true_bitstream_spread_mpix_per_s": coded_spread or None,
         "coder_msym_per_s": ({mode: round(v, 2)
                               for (mode, v) in coder_msym.items()}
                              if coder_msym is not None else None),

@@ -49,7 +49,9 @@ def _part_complete(exp_dir, idx_model):
     if not os.path.isfile(npz):
         return False
     if not os.path.isfile(meta):
-        return True
+        # npz written, meta not: the writer died mid-save (the meta is
+        # written last) - treat as partial so _clean_partial sweeps it.
+        return False
     with open(meta) as file:
         return bool(json.load(file).get("part_complete", True))
 

@@ -308,3 +308,87 @@ def test_bf16_weight_variant_beats_int8_on_trained_model():
     # int8 rounds harder; it stays a smaller-weights option, the bf16w
     # path is the parity headline.
     assert deltas["int8"] < 0.5
+
+
+def test_pallas_gdn_bf16_matches_gdn_lowp():
+    # ADVICE r4: the bf16 branch of the Pallas kernel (gdn_lowp
+    # semantics: bf16 MXU operands, fp32 accumulation/rsqrt, bf16 out)
+    # must track ops.gdn.gdn_lowp in interpret mode, both directions.
+    from autoencoder_based_image_compression_tpu.ops.gdn import gdn_lowp
+
+    (x, gamma, beta) = _gdn_inputs(seed=11)
+    x16 = x.astype(jnp.bfloat16)
+    for inverse in (False, True):
+        out = gdn_pallas_2d(x16, gamma, beta, inverse=inverse, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        expected = gdn_lowp(x16, gamma, beta, inverse=inverse)
+        diff = numpy.abs(numpy.asarray(out, numpy.float32)
+                         - numpy.asarray(expected, numpy.float32))
+        scale = numpy.abs(numpy.asarray(expected, numpy.float32)).max()
+        # Both compute the same bf16-rounded math; tolerance covers the
+        # final bf16 rounding of each path.
+        assert diff.max() <= 0.02 * scale
+
+
+def test_fp32_tail_full_decode_matches_parity():
+    # fp32_tail=3 runs the whole synthesis transform in HIGHEST fp32:
+    # on unrounded weights it must agree with the parity decoder up to
+    # formulation-level float32 rounding (explicit tconv + s2d).
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(5), True)
+    bin_widths = jnp.asarray(
+        numpy.random.default_rng(6).uniform(0.8, 4.0, 128).astype(numpy.float32))
+    symbols = jnp.asarray(numpy.random.default_rng(7).integers(
+        -10, 11, size=(2, 4, 8, 128)).astype(numpy.float32))
+    expected = numpy.asarray(conv_eae.decode(params, symbols * bin_widths, True))
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    qf = engine.bf16_weight_params(folded, fp32_tail=3)
+    # The tail level keeps every decoder kernel unrounded.
+    assert qf["weights_4"].dtype == jnp.float32
+    assert qf["weights_6"].dtype == jnp.float32
+    got = numpy.asarray(engine.fast_decode(qf, symbols, fp32_tail=3))
+    scale = numpy.abs(expected).max()
+    assert numpy.abs(got - expected).max() <= 1e-4 * scale
+
+
+def test_fp32_tail_reduces_decode_error():
+    # The precision-surgical levels must not be worse than plain bf16,
+    # and the full-fp32 level must be far closer to the parity decode.
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(8), True)
+    bin_widths = jnp.full((128,), 1.0, jnp.float32)
+    symbols = jnp.asarray(numpy.random.default_rng(9).integers(
+        -8, 9, size=(1, 4, 8, 128)).astype(numpy.float32))
+    expected = numpy.asarray(conv_eae.decode(params, symbols * bin_widths, True))
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    errs = {}
+    for tail in (0, 1, 3):
+        qf = engine.bf16_weight_params(folded, fp32_tail=tail)
+        got = numpy.asarray(engine.fast_decode(qf, symbols, fp32_tail=tail))
+        errs[tail] = numpy.abs(got - expected).mean()
+    assert errs[3] < 0.05 * errs[0]
+    assert errs[1] <= 1.10 * errs[0]
+
+
+def test_fp32_enc_tail_full_matches_parity_encode():
+    # fp32_enc_tail=3 with the plain strided formulation runs the whole
+    # analysis transform in HIGHEST fp32: it must agree with the parity
+    # encoder up to float32 rounding (same ops, same padding).
+    params = conv_eae.init_conv_eae_params(jax.random.PRNGKey(12), True)
+    rng = numpy.random.default_rng(13)
+    batch = jnp.asarray(rng.integers(0, 256, size=(2, 32, 48, 1))
+                        .astype(numpy.float32))
+    expected = numpy.asarray(conv_eae.encode(params, batch, True))
+    qp = engine.bf16_weight_params(params, fp32_enc_tail=3)
+    assert qp["weights_1"].dtype == jnp.float32
+    assert qp["weights_3"].dtype == jnp.float32
+    got = numpy.asarray(engine.fast_encode(qp, batch, fp32_enc_tail=3,
+                                           use_s2d=False))
+    scale = numpy.abs(expected).max()
+    assert numpy.abs(got - expected).max() <= 1e-4 * scale
+    # And the surgical level reduces the latent error vs plain bf16.
+    err = {}
+    for enc_tail in (0, 1):
+        qp_t = engine.bf16_weight_params(params, fp32_enc_tail=enc_tail)
+        y = numpy.asarray(engine.fast_encode(qp_t, batch,
+                                             fp32_enc_tail=enc_tail))
+        err[enc_tail] = numpy.abs(y - expected).mean()
+    assert err[1] < err[0]

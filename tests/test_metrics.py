@@ -96,3 +96,40 @@ def test_average_entropies_matches_manual():
     expected = 0.5 * (metrics.discrete_entropy(quantized[..., 0], 1.0)
                       + metrics.discrete_entropy(quantized[..., 1], 2.0))
     numpy.testing.assert_allclose(result, expected, rtol=1e-12)
+
+
+def test_bjontegaard_fit_quality_flags_degenerate_overlap():
+    # A sliver of PSNR overlap (< 1.5 dB) makes the cubic-fit integral
+    # noise-dominated: the quality probe must flag it and
+    # compute_bjontegaard must warn (VERDICT r4 item 5).
+    import warnings
+
+    rates_low = numpy.array([0.1, 0.2, 0.35, 0.5])
+    psnrs_low = numpy.array([26.0, 28.0, 30.0, 31.0])
+    rates_high = numpy.array([0.4, 0.6, 0.8, 1.1])
+    psnrs_high = numpy.array([30.5, 33.0, 35.0, 37.0])
+    quality = metrics.bjontegaard_fit_quality(rates_low, psnrs_low,
+                                              rates_high, psnrs_high)
+    assert quality["narrow_overlap"]
+    assert not quality["reliable"]
+    assert abs(quality["overlap_db"] - 0.5) < 1e-9
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        metrics.compute_bjontegaard(rates_low, psnrs_low, rates_high, psnrs_high)
+    assert any("untrustworthy" in str(w.message) for w in caught)
+
+
+def test_bjontegaard_fit_quality_flags_non_monotone_cubic():
+    # A curve whose fitted ln-rate DECREASES somewhere on the overlap
+    # (impossible for a real RD curve) marks the fit unreliable.
+    psnrs = numpy.array([30.0, 32.0, 34.0, 36.0, 38.0])
+    rates_good = numpy.exp(0.3 * psnrs - 10.0)
+    rates_bumpy = numpy.array([0.3, 0.9, 0.4, 1.0, 1.2])
+    quality = metrics.bjontegaard_fit_quality(rates_good, psnrs,
+                                              rates_bumpy, psnrs)
+    assert not quality["monotone_1"]
+    assert not quality["reliable"]
+    # And a clean pair is reliable.
+    clean = metrics.bjontegaard_fit_quality(rates_good, psnrs,
+                                            0.8 * rates_good, psnrs)
+    assert clean["reliable"]

@@ -171,3 +171,58 @@ def test_checkpoint_rename_fails_loudly():
             assert "gamma_1" in str(error)
         else:
             raise AssertionError("expected a loud failure on a key rename")
+
+
+def test_interrupted_save_refused_and_incomplete():
+    # A model npz without its json sidecar is a half-written part
+    # (save_checkpoint writes the meta last): resume must refuse it and
+    # resumable drivers must see the part as incomplete
+    # (VERDICT r4 item 8; reference training_eae_imagenet.py:89-96).
+    import os
+    import tempfile
+
+    from autoencoder_based_image_compression_tpu.train.checkpoint import (
+        checkpoint_part_complete)
+    from autoencoder_based_image_compression_tpu.train.state import (
+        init_train_state)
+
+    state = init_train_state(jax.random.PRNGKey(0), GAMMA, 1.0, True)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "model_1")
+        save_checkpoint(path, state)
+        os.remove(path + ".json")  # simulate dying between npz and meta
+        assert not checkpoint_part_complete(path)
+        try:
+            load_checkpoint(path, state)
+        except FileNotFoundError:
+            pass
+        else:
+            raise AssertionError(
+                "expected refusal to load a json-less checkpoint")
+
+
+def test_bw_warmup_tightens_early_clip():
+    # Cold-start mitigation: while step < bw_warmup_steps the learned
+    # bin widths clip to bw_warmup_max instead of MAX_BW (4.0), and the
+    # full clip returns once past the warmup horizon.
+    import numpy
+
+    from autoencoder_based_image_compression_tpu.train.state import (
+        init_train_state)
+
+    step_fns = make_step_fns(GAMMA, True, max_itvs=32,
+                             bw_warmup_steps=100, bw_warmup_max=1.0)
+    rng = numpy.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 256, size=(2, 32, 32, 1)), jnp.uint8)
+    # Start from bin widths ABOVE the warmup cap: one update must clip
+    # them down to the cap while the warmup is active...
+    state = init_train_state(jax.random.PRNGKey(1), GAMMA, 3.0, True,
+                             max_itvs=32)
+    state = step_fns["train_step"](state, batch, jax.random.PRNGKey(2))
+    assert float(jnp.max(state.bin_widths)) <= 1.0 + 1e-6
+    # ...and must NOT once the step counter passes the horizon.
+    state_late = init_train_state(jax.random.PRNGKey(1), GAMMA, 3.0, True,
+                                  max_itvs=32)
+    state_late = state_late._replace(step=jnp.asarray(1000, state_late.step.dtype))
+    state_late = step_fns["train_step"](state_late, batch, jax.random.PRNGKey(2))
+    assert float(jnp.max(state_late.bin_widths)) > 1.5
