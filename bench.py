@@ -369,6 +369,29 @@ def main():
             return False
         return True
 
+    # Host<->device link bandwidth, measured so the serving rows are
+    # interpretable across environments: through a dev tunnel the link
+    # is the serving bottleneck and varies run to run (round 4's driver
+    # and builder numbers disagreed ~45% for exactly this reason). The
+    # serving ceiling scales with this number (uint8 upload 1 B/px +
+    # int8 symbol fetch 0.5 B/px for compress-only).
+    link_mb_per_s = None
+    if not SMOKE:
+        probe = numpy.zeros(16 << 20, numpy.uint8)
+        up_times = []
+        down_times = []
+        for _ in range(3):
+            start = time.perf_counter()
+            dev = jax.device_put(probe)
+            dev.block_until_ready()
+            up_times.append(time.perf_counter() - start)
+            start = time.perf_counter()
+            numpy.asarray(dev)
+            down_times.append(time.perf_counter() - start)
+        link_mb_per_s = {
+            "upload": round(16.0 / min(up_times), 1),
+            "fetch": round(16.0 / min(down_times), 1)}
+
     if weights_kind == "trained" and os.path.isfile(
             os.path.join(stats_dir, "map_mean.npy")) and _stats_match_artifact():
         import pickle
@@ -477,6 +500,7 @@ def main():
             round(coded_noverify_mpix, 3)
             if coded_noverify_mpix is not None else None),
         "true_bitstream_spread_mpix_per_s": coded_spread or None,
+        "link_mb_per_s": link_mb_per_s,
         "coder_msym_per_s": ({mode: round(v, 2)
                               for (mode, v) in coder_msym.items()}
                              if coder_msym is not None else None),
