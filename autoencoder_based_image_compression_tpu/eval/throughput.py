@@ -50,8 +50,9 @@ def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
     """Compares the fp32 parity path against the bf16-activation fast path.
 
     ``weight_mode`` picks the fast path's weight store: ``"bf16w"``
-    (default - bf16-rounded kernels, the parity-safe serving path) or
-    ``"int8"`` (int8 weight-only store + fp32 scales). Returns a dict
+    (default - bf16-rounded kernels), ``"bf16w+"`` (bf16 with the
+    precision-surgical fp32 tails, the worst-case-gate serving default)
+    or ``"int8"`` (int8 weight-only store + fp32 scales). Returns a dict
     with Mpix/s for both paths and the PSNR between their uint8
     reconstructions (how much fidelity the fast path gives up relative
     to the parity path - on a trained model this must stay high enough
@@ -69,15 +70,22 @@ def parity_and_throughput(params, images_uint8, bin_widths, repeats=5,
         quantized = quantize_per_map(y, bin_widths)
         return conv_eae.decode(params, quantized, True)
 
-    store = (engine.bf16_weight_params if weight_mode == "bf16w"
-             else engine.quantize_params_int8)
-    qparams = store(params)
-    qfolded = store(engine.fold_bin_widths_into_decoder(params, bin_widths))
+    (enc_tail, dec_tail) = ((engine.BF16WPLUS_ENC_TAIL,
+                             engine.BF16WPLUS_DEC_TAIL)
+                            if weight_mode == "bf16w+" else (0, 0))
+    folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
+    if weight_mode == "int8":
+        qparams = engine.quantize_params_int8(params)
+        qfolded = engine.quantize_params_int8(folded)
+    else:
+        qparams = engine.bf16_weight_params(params, fp32_enc_tail=enc_tail)
+        qfolded = engine.bf16_weight_params(folded, fp32_tail=dec_tail)
 
     def fast_path(qparams, qfolded, images, bin_widths):
-        y = engine.fast_encode(qparams, images, learn_bin_widths=True)
+        y = engine.fast_encode(qparams, images, learn_bin_widths=True,
+                               fp32_enc_tail=enc_tail)
         symbols = jnp.round(y / bin_widths)
-        return engine.fast_decode(qfolded, symbols)
+        return engine.fast_decode(qfolded, symbols, fp32_tail=dec_tail)
 
     seconds_parity = time_with_checksum(parity_path, params, images, bin_widths,
                                         repeats=repeats, nb_in_flight=nb_in_flight)
