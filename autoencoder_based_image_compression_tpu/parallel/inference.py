@@ -183,6 +183,9 @@ class PipelinedCompressor:
         # Deepest window observed during the last __call__ (bounded-
         # memory invariant check; exercised by tests/test_pipeline_e2e).
         self.peak_in_flight = 0
+        # Phase breakdown (wall/coder/fetch_wait seconds) of the last
+        # __call__ - see the timing block there.
+        self.last_timing = None
         (_, _, self.put) = make_codec_fns(learn_bin_widths, mesh)
 
         def _encode_symbols(params, batch_uint8, bin_widths, map_mean):
@@ -262,6 +265,7 @@ class PipelinedCompressor:
         symbol images are bounded by the window, not the dataset.
         """
         import collections
+        import time
 
         nb = images_uint8.shape[0]
         starts = list(range(0, nb, self.batch_size))
@@ -269,6 +273,12 @@ class PipelinedCompressor:
         recs_per_start = {}
         inflight = collections.deque()
         self.peak_in_flight = 0
+        # Phase breakdown of the last call (seconds): where the wall
+        # time went - the C++ coder vs waiting on device results /
+        # link transfers. Diagnoses whether a serving number is
+        # coder-bound or link-bound without a profiler attached.
+        timing = {"wall": 0.0, "coder": 0.0, "fetch_wait": 0.0}
+        t_call = time.perf_counter()
         next_idx = 0
         while next_idx < len(starts) or inflight:
             while (next_idx < len(starts)
@@ -283,24 +293,32 @@ class PipelinedCompressor:
             # would round-trip "bit-exactly" through the coder. Same
             # bound as the reference's cast_float_to_int16
             # (tools.py:95-155: abs > 32767 raises).
+            t0 = time.perf_counter()
             max_abs = float(batch_max)
-            if max_abs > 32767.0:
-                raise OverflowError(
-                    "A symbol magnitude exceeds the int16 range.")
-            if max_abs <= 127.0:
+            if max_abs <= 32767.0 and max_abs <= 127.0:
                 # int8 is exact here; widen on host for the coder.
                 symbols_host = numpy.asarray(symbols8).astype(numpy.int16)
             else:
                 symbols_host = numpy.asarray(symbols16)
+            timing["fetch_wait"] += time.perf_counter() - t0
+            if max_abs > 32767.0:
+                raise OverflowError(
+                    "A symbol magnitude exceeds the int16 range.")
             # Drop the device buffers as soon as the host copy is
             # chosen - the wide int16 image in particular must not
             # accumulate across the window.
             del symbols16, symbols8
+            t0 = time.perf_counter()
             bits_per_start[start] = self._compress_images(
                 symbols_host, self.binary_probabilities,
                 self.idx_map_exception, verify=self.verify)
+            timing["coder"] += time.perf_counter() - t0
             if reconstruction is not None:
+                t0 = time.perf_counter()
                 recs_per_start[start] = numpy.asarray(reconstruction)
+                timing["fetch_wait"] += time.perf_counter() - t0
+        timing["wall"] = time.perf_counter() - t_call
+        self.last_timing = timing
         bits = numpy.concatenate([bits_per_start[s] for s in starts])
         if not self.reconstruct:
             return (None, bits)

@@ -434,6 +434,11 @@ def main():
             idx_exc, batch_size=8, reconstruct=False)
         coded_compress_only_mpix = serve_row("compress_only", compressor_co,
                                              repeats=7)
+        if compressor_co.last_timing is not None:
+            wall = max(compressor_co.last_timing["wall"], 1e-9)
+            coded_spread["compress_only"]["phase_fractions"] = {
+                phase: round(compressor_co.last_timing[phase] / wall, 3)
+                for phase in ("coder", "fetch_wait")}
         # Same workload with the verify-decode skipped (encode-only
         # coder entry; identical bitstreams - see the differential and
         # self tests).
