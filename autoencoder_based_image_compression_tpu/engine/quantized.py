@@ -31,9 +31,15 @@ _CONV_NAMES = ("weights_1", "weights_2", "weights_3", "weights_4", "weights_5",
 # The "bf16w+" serving default: the cheapest precision mix whose WORST
 # per-image PSNR delta vs the fp32 parity path stays inside the 0.05 dB
 # gate at every probed bin-width multiplier (measured on chip by
-# scripts/gate_probe.py - see BASELINE.md round 5).
-BF16WPLUS_ENC_TAIL = 1
-BF16WPLUS_DEC_TAIL = 1
+# scripts/gate_probe.py - see BASELINE.md round 5). The measured
+# structure across weight distributions: the gate binds through
+# ENCODER symbol flips (any bf16 encoder stage breached at some
+# multiplier on the step-84k weights), while the bf16 synthesis
+# transform's error is benign once the symbols are exact - so the
+# default is a full-fp32 analysis transform over a bf16 synthesis
+# transform (worst -0.014 dB, 3.6x inside the gate, 577 Mpix/s/chip).
+BF16WPLUS_ENC_TAIL = 3
+BF16WPLUS_DEC_TAIL = 0
 # Output-channel axis of each kernel: encoder convs are HWIO (out = O,
 # axis 3); decoder tconv kernels are stored (kh, kw, tconv_out, tconv_in)
 # so their output axis is 2.

@@ -294,7 +294,7 @@ def main():
     # Escalate the bf16w+ precision mix until the worst-case gate holds
     # at every multiplier ((3, 3) == both transforms entirely in
     # HIGHEST-precision fp32 between the same quantizer points).
-    ESCALATION = [(2, 1), (2, 2), (3, 3)]
+    ESCALATION = [(3, 1), (3, 3)]
     while (not SMOKE and ESCALATION
            and min(psnr_delta_worst["bf16w+"].values()) < -GATE_DB):
         (bf16wplus_enc, bf16wplus_dec) = ESCALATION.pop(0)
