@@ -12,6 +12,7 @@ the "bf16w+" serving default.
 
 from autoencoder_based_image_compression_tpu.engine.quantized import (
     BF16WPLUS_DEC_TAIL,
+    BF16WPLUS_ENC_PRECISION,
     BF16WPLUS_ENC_TAIL,
     bf16_weight_params,
     dequantize_int8_params,

@@ -37,9 +37,14 @@ _CONV_NAMES = ("weights_1", "weights_2", "weights_3", "weights_4", "weights_5",
 # multiplier on the step-84k weights), while the bf16 synthesis
 # transform's error is benign once the symbols are exact - so the
 # default is a full-fp32 analysis transform over a bf16 synthesis
-# transform (worst -0.014 dB, 3.6x inside the gate, 577 Mpix/s/chip).
+# transform. The fp32 encoder convs run at MXU Precision.HIGH (3-pass
+# bf16 emulation, ~2^-21 relative error): measured bit-for-bit the
+# same worst-case gate margin as HIGHEST (-0.0137 dB, 3.6x inside the
+# gate) at 805 vs 577 Mpix/s/chip - the binding residual comes from
+# the bf16 synthesis side, not encoder precision.
 BF16WPLUS_ENC_TAIL = 3
 BF16WPLUS_DEC_TAIL = 0
+BF16WPLUS_ENC_PRECISION = "high"
 # Output-channel axis of each kernel: encoder convs are HWIO (out = O,
 # axis 3); decoder tconv kernels are stored (kh, kw, tconv_out, tconv_in)
 # so their output axis is 2.
@@ -162,12 +167,21 @@ def fold_bin_widths_into_decoder(params, bin_widths):
     return folded
 
 
-def _conv_bf16(x, w, stride, out_dtype=jnp.float32, dtype=jnp.bfloat16):
+_PRECISIONS = {"high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
+
+
+def _conv_bf16(x, w, stride, out_dtype=jnp.float32, dtype=jnp.bfloat16,
+               fp32_precision="highest"):
+    """``fp32_precision`` selects the MXU emulation level of the fp32
+    convs ("highest" = 6-pass bf16, exact fp32 semantics; "high" =
+    3-pass, ~2^-21 relative error - two orders tighter than plain bf16
+    at roughly half HIGHEST's cost). bf16 convs always run DEFAULT."""
     return jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+        precision=(_PRECISIONS[fp32_precision] if dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_dtype)
 
@@ -236,14 +250,15 @@ def _s2d_kernel_from_conv1(w9):
     return wk
 
 
-def _conv1_s2d(x, w9, dtype=jnp.bfloat16, out_dtype=jnp.float32):
+def _conv1_s2d(x, w9, dtype=jnp.bfloat16, out_dtype=jnp.float32,
+               fp32_precision="highest"):
     """The encoder's first conv as space-to-depth + 3x3 conv."""
     wk = _s2d_kernel_from_conv1(w9)
     return jax.lax.conv_general_dilated(
         _space_to_depth(x).astype(dtype), wk.astype(dtype),
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=(jax.lax.Precision.HIGHEST if dtype == jnp.float32
+        precision=(_PRECISIONS[fp32_precision] if dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_dtype)
 
@@ -306,9 +321,9 @@ def _encode_tail_dtypes(fp32_enc_tail):
 
 @functools.partial(jax.jit,
                    static_argnames=("learn_bin_widths", "use_pallas", "use_s2d",
-                                    "fp32_enc_tail"))
+                                    "fp32_enc_tail", "enc_precision"))
 def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False,
-                use_s2d=True, fp32_enc_tail=0):
+                use_s2d=True, fp32_enc_tail=0, enc_precision="highest"):
     """bf16 analysis transform over int8-stored weights.
 
     ``use_s2d`` runs the first conv in its space-to-depth formulation
@@ -330,17 +345,19 @@ def fast_encode(qparams, visible_units, learn_bin_widths=True, use_pallas=False,
     # quantizer's rounding keeps full resolution.
     if use_s2d:
         x = _conv1_s2d(visible_units, p["weights_1"], dtype=c1_dtype,
-                       out_dtype=c1_out)
+                       out_dtype=c1_out, fp32_precision=enc_precision)
     else:
         x = _conv_bf16(visible_units, p["weights_1"], csts.STRIDE_1,
-                       out_dtype=c1_out, dtype=c1_dtype)
+                       out_dtype=c1_out, dtype=c1_dtype,
+                       fp32_precision=enc_precision)
     x = x + p["biases_1"].astype(c1_out)
     x = _gdn_fast(x, p["gamma_1"], p["beta_1"], False, use_pallas)
     x = _conv_bf16(x, p["weights_2"], csts.STRIDE_2, out_dtype=c2_out,
-                   dtype=c2_dtype)
+                   dtype=c2_dtype, fp32_precision=enc_precision)
     x = x + p["biases_2"].astype(c2_out)
     x = _gdn_fast(x, p["gamma_2"], p["beta_2"], False, use_pallas)
-    x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3, dtype=c3_dtype) + p["biases_3"]
+    x = _conv_bf16(x, p["weights_3"], csts.STRIDE_3, dtype=c3_dtype,
+                   fp32_precision=enc_precision) + p["biases_3"]
     if not learn_bin_widths:
         x = _gdn_fast(x.astype(jnp.float32), p["gamma_3"], p["beta_3"], False,
                       use_pallas)
@@ -398,10 +415,11 @@ def fast_decode_fixed_bw(qparams, symbols, bin_widths, use_pallas=False,
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "use_s2d",
-                                             "fp32_tail", "fp32_enc_tail"))
+                                             "fp32_tail", "fp32_enc_tail",
+                                             "enc_precision"))
 def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
                         use_pallas=False, use_s2d=True, fp32_tail=0,
-                        fp32_enc_tail=0):
+                        fp32_enc_tail=0, enc_precision="highest"):
     """Encode+quantize+decode K batches in ONE device program.
 
     ``stacked_batches`` is (K, B, H, W, 1); a ``lax.scan`` runs the full
@@ -416,7 +434,8 @@ def fast_roundtrip_scan(qparams, qparams_folded, stacked_batches, bin_widths,
     def body(carry, batch):
         y = fast_encode(qparams, batch, learn_bin_widths=True,
                         use_pallas=use_pallas, use_s2d=use_s2d,
-                        fp32_enc_tail=fp32_enc_tail)
+                        fp32_enc_tail=fp32_enc_tail,
+                        enc_precision=enc_precision)
         symbols = jnp.round(y / bin_widths)
         return (carry, (fast_decode(qparams_folded, symbols,
                                     use_pallas=use_pallas, use_s2d=use_s2d,

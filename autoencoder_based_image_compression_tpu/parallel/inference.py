@@ -144,6 +144,7 @@ class PipelinedCompressor:
         # weight-store one.
         self._fp32_tail = 0
         self._fp32_enc_tail = 0
+        self._enc_precision = "highest"
         if fast_path is not None:
             if fast_path not in ("bf16w+", "bf16w", "int8"):
                 raise ValueError(
@@ -161,6 +162,7 @@ class PipelinedCompressor:
                 if fast_path == "bf16w+":
                     self._fp32_tail = engine.BF16WPLUS_DEC_TAIL
                     self._fp32_enc_tail = engine.BF16WPLUS_ENC_TAIL
+                    self._enc_precision = engine.BF16WPLUS_ENC_PRECISION
                 params = engine.bf16_weight_params(
                     params, fp32_tail=self._fp32_tail,
                     fp32_enc_tail=self._fp32_enc_tail)
@@ -202,7 +204,8 @@ class PipelinedCompressor:
             if fast_path is not None:
                 y = self._engine.fast_encode(
                     params, batch, learn_bin_widths=True,
-                    fp32_enc_tail=self._fp32_enc_tail)
+                    fp32_enc_tail=self._fp32_enc_tail,
+                    enc_precision=self._enc_precision)
             else:
                 y = conv_eae.encode(params, batch, learn_bin_widths)
             sym = jnp.round((y - map_mean) / bin_widths)

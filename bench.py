@@ -23,10 +23,12 @@ pattern, ``eae/batching.py:48-53``) at its batch size of 4
 async-dispatch pipeline (``engine.fast_roundtrip_scan``).
 
 Three fast-path variants run (int8 weight-only store, bf16-rounded
-weights, and bf16w+ = bf16 with a precision-surgical fp32 decode
-tail); the headline is bf16w+, the variant that meets the WORST-CASE
-per-image 0.05 dB parity gate at every probed bin-width multiplier
-(its tail level auto-escalates until the gate holds). Per-variant
+weights, and bf16w+ = precision-surgical fp32 tails on both
+transforms - by default a full-fp32 HIGH-precision analysis transform
+over a bf16 synthesis transform); the headline is bf16w+, the variant
+that meets the WORST-CASE per-image 0.05 dB parity gate at every
+probed bin-width multiplier (its mix auto-escalates until the gate
+holds). Per-variant
 fidelity vs the fp32 parity path is reported both as recon-vs-recon
 PSNR and as the end-to-end PSNR-vs-original delta the gate is about.
 
@@ -162,24 +164,27 @@ def main():
     #   int8   - int8 weight-only store + per-channel fp32 scales
     #   bf16w  - kernels rounded to bf16 (same MXU kernels/speed, no
     #            int8 rounding)
-    #   bf16w+ - bf16w with the precision-surgical fp32 decode tail
-    #            (engine.fast_decode fp32_tail; starts at level 1 =
-    #            IGDN_6 + final tconv and escalates below until the
-    #            worst-case gate holds; the serving default)
+    #   bf16w+ - precision-surgical fp32 tails (engine.BF16WPLUS_*;
+    #            default = full-fp32 HIGH-precision analysis transform
+    #            for exact symbols + bf16 synthesis; escalates below
+    #            until the worst-case gate holds; the serving default)
     folded = engine.fold_bin_widths_into_decoder(params, bin_widths)
     bf16wplus_enc = engine.BF16WPLUS_ENC_TAIL
     bf16wplus_dec = engine.BF16WPLUS_DEC_TAIL
+    bf16wplus_prec = engine.BF16WPLUS_ENC_PRECISION
 
-    def bf16wplus_params(enc, dec):
+    def bf16wplus_params(enc, dec, prec):
         return (engine.bf16_weight_params(params, fp32_enc_tail=enc),
-                engine.bf16_weight_params(folded, fp32_tail=dec), enc, dec)
+                engine.bf16_weight_params(folded, fp32_tail=dec),
+                enc, dec, prec)
 
     variants = {
         "int8": (engine.quantize_params_int8(params),
-                 engine.quantize_params_int8(folded), 0, 0),
+                 engine.quantize_params_int8(folded), 0, 0, "highest"),
         "bf16w": (engine.bf16_weight_params(params),
-                  engine.bf16_weight_params(folded), 0, 0),
-        "bf16w+": bf16wplus_params(bf16wplus_enc, bf16wplus_dec),
+                  engine.bf16_weight_params(folded), 0, 0, "highest"),
+        "bf16w+": bf16wplus_params(bf16wplus_enc, bf16wplus_dec,
+                                   bf16wplus_prec),
     }
 
     # A 4-byte checksum fetch is the completion barrier. Rationale:
@@ -201,19 +206,21 @@ def main():
     stack_all = jax.device_put(jnp.asarray(_distinct_stack(images_f32, NB_SCAN)))
     batch_all = jax.device_put(jnp.asarray(images_f32))
 
-    @functools.partial(jax.jit, static_argnames=("fp32_tail", "fp32_enc_tail"))
+    @functools.partial(jax.jit, static_argnames=("fp32_tail", "fp32_enc_tail",
+                                                 "enc_precision"))
     def scan_checksum(qparams, qfolded, stack, bin_widths, fp32_tail=0,
-                      fp32_enc_tail=0):
+                      fp32_enc_tail=0, enc_precision="highest"):
         (recs, symbols) = engine.fast_roundtrip_scan(
             qparams, qfolded, stack, bin_widths, fp32_tail=fp32_tail,
-            fp32_enc_tail=fp32_enc_tail)
+            fp32_enc_tail=fp32_enc_tail, enc_precision=enc_precision)
         return jnp.sum(recs) + jnp.sum(symbols)
 
-    def make_run(qparams, qfolded, enc_tail, dec_tail):
+    def make_run(qparams, qfolded, enc_tail, dec_tail, enc_precision):
         def run():
             checksums = [scan_checksum(qparams, qfolded, stack_all, bin_widths,
                                        fp32_tail=dec_tail,
-                                       fp32_enc_tail=enc_tail)
+                                       fp32_enc_tail=enc_tail,
+                                       enc_precision=enc_precision)
                          for _ in range(NB_IN_FLIGHT)]
             for checksum in checksums:
                 numpy.asarray(checksum)
@@ -263,7 +270,7 @@ def main():
     psnr_delta_worst = {}
     GATE_DB = 0.05
 
-    def gate_rows(tag, qp, enc_tail, dec_tail):
+    def gate_rows(tag, qp, enc_tail, dec_tail, enc_precision):
         """Worst-case per-image PSNR delta vs the fp32 path per
         multiplier, plus the x1 mean fidelity numbers."""
         per_mult_worst = {}
@@ -275,7 +282,7 @@ def main():
                                                    fp32_tail=dec_tail))
             (recs_fast, _) = engine.fast_roundtrip_scan(
                 qp, qf_m, batch_all[None], bw_m, fp32_tail=dec_tail,
-                fp32_enc_tail=enc_tail)
+                fp32_enc_tail=enc_tail, enc_precision=enc_precision)
             rec_fast = cast_bt601(numpy.asarray(recs_fast[0])[..., 0])
             deltas = numpy.array(
                 [psnr_2d(orig[i], rec_fast[i])
@@ -289,24 +296,26 @@ def main():
                 psnr_delta[tag] = float(deltas.mean())
         return per_mult_worst
 
-    for (tag, (qp, _, enc_tail, dec_tail)) in variants.items():
-        psnr_delta_worst[tag] = gate_rows(tag, qp, enc_tail, dec_tail)
+    for (tag, (qp, _, enc_tail, dec_tail, prec)) in variants.items():
+        psnr_delta_worst[tag] = gate_rows(tag, qp, enc_tail, dec_tail, prec)
     # Escalate the bf16w+ precision mix until the worst-case gate holds
-    # at every multiplier ((3, 3) == both transforms entirely in
-    # HIGHEST-precision fp32 between the same quantizer points).
-    ESCALATION = [(3, 1), (3, 3)]
+    # at every multiplier (first to exact-fp32 encoder convs, then
+    # ((3, 3) == both transforms entirely in HIGHEST fp32).
+    ESCALATION = [(3, 0, "highest"), (3, 1, "highest"), (3, 3, "highest")]
     while (not SMOKE and ESCALATION
            and min(psnr_delta_worst["bf16w+"].values()) < -GATE_DB):
-        (bf16wplus_enc, bf16wplus_dec) = ESCALATION.pop(0)
-        variants["bf16w+"] = bf16wplus_params(bf16wplus_enc, bf16wplus_dec)
+        (bf16wplus_enc, bf16wplus_dec, bf16wplus_prec) = ESCALATION.pop(0)
+        variants["bf16w+"] = bf16wplus_params(bf16wplus_enc, bf16wplus_dec,
+                                              bf16wplus_prec)
         psnr_delta_worst["bf16w+"] = gate_rows(
-            "bf16w+", variants["bf16w+"][0], bf16wplus_enc, bf16wplus_dec)
+            "bf16w+", variants["bf16w+"][0], bf16wplus_enc, bf16wplus_dec,
+            bf16wplus_prec)
     gate_pass = {tag: bool(min(worst.values()) >= -GATE_DB)
                  for (tag, worst) in psnr_delta_worst.items()}
 
     mpix = {}
-    for (tag, (qp, qf, enc_tail, dec_tail)) in variants.items():
-        seconds = _timeit(make_run(qp, qf, enc_tail, dec_tail))
+    for (tag, (qp, qf, enc_tail, dec_tail, prec)) in variants.items():
+        seconds = _timeit(make_run(qp, qf, enc_tail, dec_tail, prec))
         mpix[tag] = NB_SCAN * NB_IN_FLIGHT * nb_pixels / seconds / 1.0e6
     # The headline is the bf16w+ path (bf16 transforms + fp32 decode
     # tail): the fast variant that meets the worst-case-per-image
@@ -483,7 +492,8 @@ def main():
         "int8_mpix_per_s": round(mpix["int8"], 3),
         "bf16w_mpix_per_s": round(mpix["bf16w"], 3),
         "bf16wplus_mpix_per_s": round(mpix["bf16w+"], 3),
-        "bf16wplus_fp32_tail": {"enc": bf16wplus_enc, "dec": bf16wplus_dec},
+        "bf16wplus_fp32_tail": {"enc": bf16wplus_enc, "dec": bf16wplus_dec,
+                                "enc_precision": bf16wplus_prec},
         "gate_pass_worst_0p05db": gate_pass,
         "fp32_mpix_per_s": round(fp32_mpix, 3),
         "fast_vs_fp32_psnr_db": {tag: round(float(v), 2)

@@ -40,7 +40,14 @@ def main():
                         help="enc,dec fp32-tail level pairs to probe")
     parser.add_argument("--out", default="build/gate_probe.json")
     args = parser.parse_args()
-    configs = [tuple(int(v) for v in c.split(",")) for c in args.configs]
+    def parse(c):
+        (enc_s, dec_s) = c.split(",")
+        enc_precision = "highest"
+        if enc_s.endswith("h"):
+            (enc_s, enc_precision) = (enc_s[:-1], "high")
+        return (int(enc_s), int(dec_s), enc_precision)
+
+    configs = [parse(c) for c in args.configs]
 
     from autoencoder_based_image_compression_tpu.data.synthetic import (
         synthetic_kodak)
@@ -86,8 +93,8 @@ def main():
     stack_all = jax.device_put(jnp.asarray(numpy.stack(variants, axis=0)))
 
     results = {}
-    for (enc, dec) in configs:
-        tag = f"enc{enc}_dec{dec}"
+    for (enc, dec, enc_precision) in configs:
+        tag = f"enc{enc}{'h' if enc_precision == 'high' else ''}_dec{dec}"
         qp = engine.bf16_weight_params(params, fp32_tail=dec,
                                        fp32_enc_tail=enc)
         worst = {}
@@ -97,7 +104,8 @@ def main():
             qf_m = engine.bf16_weight_params(folded_m, fp32_tail=dec)
             (recs, _) = engine.fast_roundtrip_scan(
                 qp, qf_m, batch_all[None], bw_m,
-                fp32_tail=dec, fp32_enc_tail=enc)
+                fp32_tail=dec, fp32_enc_tail=enc,
+                enc_precision=enc_precision)
             rec = cast_bt601(numpy.asarray(recs[0])[..., 0])
             deltas = numpy.array(
                 [psnr_2d(orig[i], rec[i])
@@ -110,7 +118,8 @@ def main():
         @jax.jit
         def checksum(qp, qf, stack, bw):
             (recs, symbols) = engine.fast_roundtrip_scan(
-                qp, qf, stack, bw, fp32_tail=dec, fp32_enc_tail=enc)
+                qp, qf, stack, bw, fp32_tail=dec, fp32_enc_tail=enc,
+                enc_precision=enc_precision)
             return jnp.sum(recs) + jnp.sum(symbols)
 
         def run():
