@@ -416,7 +416,11 @@ def main():
         # Every serving row is a MEDIAN over >=5 repetitions with the
         # observed range alongside: these rows ride the host link, whose
         # run-to-run variance through a dev tunnel is the reason the
-        # r4 driver and builder numbers disagreed by ~45%.
+        # r4 driver and builder numbers disagreed by ~45%. Batch size 4
+        # (the reference's own eval batch): the round-5 sweep measured
+        # compress-only 27.7 / 24.3 / 21.6 / 17.4 Mpix/s at batch
+        # 4/8/12/24 - more batches in the window = deeper overlap
+        # between link transfers and the coder pool.
         def serve_row(name, compressor_obj, repeats=5):
             (med, worst, best) = _timeit_median(
                 lambda: compressor_obj(images), repeats=repeats)
@@ -428,19 +432,19 @@ def main():
 
         compressor = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
-            idx_exc, batch_size=8)
+            idx_exc, batch_size=4)
         coded_mpix = serve_row("roundtrip", compressor)
         # Same pipeline on the bf16w+ serving transforms (the headline
         # fast path feeding real bitstreams).
         compressor_fast = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
-            idx_exc, batch_size=8, fast_path="bf16w+")
+            idx_exc, batch_size=4, fast_path="bf16w+")
         coded_fast_mpix = serve_row("roundtrip_fast", compressor_fast)
         # Compress-only serving (no decode dispatch / reconstruction
         # fetch - the production "archive this stream" workload).
         compressor_co = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
-            idx_exc, batch_size=8, reconstruct=False)
+            idx_exc, batch_size=4, reconstruct=False)
         coded_compress_only_mpix = serve_row("compress_only", compressor_co,
                                              repeats=7)
         if compressor_co.last_timing is not None:
@@ -453,7 +457,7 @@ def main():
         # self tests).
         compressor_nv = PipelinedCompressor(
             params, bin_widths, learn_bin_widths, probabilities, map_mean,
-            idx_exc, batch_size=8, reconstruct=False, verify=False)
+            idx_exc, batch_size=4, reconstruct=False, verify=False)
         coded_noverify_mpix = serve_row("compress_only_noverify",
                                         compressor_nv, repeats=7)
 
